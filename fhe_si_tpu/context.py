@@ -1,0 +1,356 @@
+"""FheContext: static, explicit context for the TPU-native FHE-SI scheme.
+
+Replaces the reference's mutable global ``activeContext`` pattern
+(FHEContext.h:43, FHEContext.cpp:21) with an explicit immutable object that
+is computed once on the host (Python arbitrary-precision ints + numpy) and
+baked into jit-compiled device programs as static tables.
+
+Reference components covered here (file:line into /root/reference):
+  - PAlgebra (structure of (Z/mZ)*): PAlgebra.h:53-88, PAlgebra.cpp:40-56
+  - PlaintextSpace (slot CRT packing): PlaintextSpace.cpp:22-134
+  - FHEcontext (moduli chain, q=2^logQ, digit params): FHEContext.h:45-206
+  - SetUpSIContext prime budget: FHEContext.cpp:83-115
+  - Cmodulus per-prime transform tables: CModulus.cpp:59-137
+
+TPU-first representational choices (see SURVEY §1, §7):
+  - The ciphertext modulus is q = 2^logQ; the odd-prime chain is an exact
+    arithmetic device only.  Bit-exactness targets coefficient-domain
+    results, so the chain uses 20-bit primes ≡ 1 (mod m) that fit int32
+    lanes (reference uses ~60-bit NTL primes ≡ 1 mod 2m; the basis is an
+    internal choice, SURVEY.md §1 "may legally use a different prime
+    basis as long as the product bound holds").
+  - The per-prime NTT (evaluate at primitive m-th roots / interpolate
+    back) is materialised as a pair of phim x phim integer matrices per
+    prime: on TPU an exact modular matmul on the MXU beats a Bluestein
+    chirp pipeline on the VPU for every m this library targets.  The
+    inverse matrix is built in closed form (full inverse DFT restricted
+    to primitive columns, then reduction mod Phi_m) — no matrix
+    inversion needed.
+  - Big coefficients mod 2^logQ (and CRT-reconstruction intermediates)
+    live as 16-bit limbs in int32 lanes; this module precomputes every
+    limb-domain constant the device kernels need.
+"""
+from __future__ import annotations
+
+import math
+from functools import cached_property
+
+import numpy as np
+
+from .hostmath import numbth
+
+LIMB_BITS = 16
+LIMB_MASK = (1 << LIMB_BITS) - 1
+PRIME_MAX_BITS = 20  # chain primes < 2^20: 10-bit split modmul stays int32-exact
+
+
+def int_to_limbs(x: int, n: int) -> np.ndarray:
+    """x mod 2^(16n) as n little-endian 16-bit limbs (two's complement)."""
+    x &= (1 << (LIMB_BITS * n)) - 1
+    return np.array([(x >> (LIMB_BITS * i)) & LIMB_MASK for i in range(n)],
+                    dtype=np.int32)
+
+
+def limbs_to_int(limbs, signed: bool = True) -> int:
+    """Inverse of int_to_limbs; interprets as two's complement if signed."""
+    limbs = np.asarray(limbs)
+    n = limbs.shape[-1]
+    x = 0
+    for i in range(n - 1, -1, -1):
+        x = (x << LIMB_BITS) | (int(limbs[..., i]) & LIMB_MASK)
+    if signed and x >= 1 << (LIMB_BITS * n - 1):
+        x -= 1 << (LIMB_BITS * n)
+    return x
+
+
+class FheContext:
+    """Immutable scheme context.
+
+    Mirrors FHEcontext::Init (FHEContext.h:105-118) + SetUpSIContext
+    (FHEContext.cpp:83-85): construct with the same five parameters the
+    reference tests use, and the prime chain is provisioned from the same
+    budget  2*ln(q) + ln(p) + 2*ln(phim) + ln(2) + ln(xi).
+    """
+
+    def __init__(self, m: int, log_q: int, p: int, generator: int,
+                 decomp_size: int = 3, xi: int = 1, stdev: float = 3.2,
+                 primes: list[int] | None = None):
+        if p >= 1 << PRIME_MAX_BITS:
+            raise NotImplementedError(
+                f"plaintext modulus p={p} >= 2^{PRIME_MAX_BITS} is not supported by "
+                "the int32-lane device arithmetic yet")
+        self.m = m
+        self.log_q = log_q
+        self.q = 1 << log_q
+        self.p = p
+        self.generator = generator
+        self.decomp_size = decomp_size
+        self.stdev = stdev
+        self.xi = xi
+        # ndigits = ceil(logQ / (8*decompSize))   (FHEContext.h:114-115)
+        self.ndigits = (log_q + 8 * decomp_size - 1) // (8 * decomp_size)
+        self.digit_bits = 8 * decomp_size
+
+        # ---- PAlgebra: structure of (Z/mZ)*  (PAlgebra.cpp:40-56) ----
+        zms_idx = np.full(m, -1, dtype=np.int64)
+        zms = [i for i in range(m) if math.gcd(i, m) == 1]
+        for idx, t in enumerate(zms):
+            zms_idx[t] = idx
+        self.zms = np.array(zms, dtype=np.int64)      # primitive residues, ascending
+        self.zms_idx = zms_idx                        # residue -> slot row, or -1
+        self.phim = len(zms)
+        self.phim_x = numbth.cyclotomic(m)            # Phi_m coefficients (monic)
+
+        # ---- prime chain (SetUpSIContext budget, FHEContext.cpp:83-85) ----
+        if primes is None:
+            budget = (2 * log_q * math.log(2) + math.log(p)
+                      + 2 * math.log(self.phim) + math.log(2) + math.log(max(xi, 1)))
+            primes = numbth.generate_prime_chain(
+                m, budget, max_bits=PRIME_MAX_BITS, exclude=(p,))
+        self.primes = np.array(primes, dtype=np.int64)
+        self.num_primes = len(primes)
+        self.prime_product = math.prod(int(q) for q in primes)
+        # order-m root of unity per prime (deterministic; Cmodulus analog,
+        # CModulus.cpp:59-86 — we need order m, not 2m: the matmul-DFT uses
+        # no negacyclic chirp).
+        self.roots = np.array(
+            [numbth.find_element_of_order(int(q), m) for q in primes], dtype=np.int64)
+
+        # ---- limb widths ----
+        # Full width covers CRT-reconstructed centered values |x| < P/2
+        # plus the *2p headroom of the decrypt rounding (FHE-SI.cpp:113-117).
+        self.n_limbs = (self.prime_product.bit_length() + 24) // LIMB_BITS + 2
+
+        # ---- plaintext space ----
+        self._init_plaintext_space()
+
+        self._automorph_perms: dict[int, np.ndarray] = {}
+
+    # -------------------------------------------------------------- plaintext
+    def _init_plaintext_space(self):
+        """Slot structure of Z[X]/(Phi_m, p)  (PlaintextSpace.cpp:22-110).
+
+        Currently requires m | p-1 (all shipped reference configs use
+        m = p-1), so Phi_m splits into linear factors X - zeta_j mod p and
+        each slot is Z_p.  Slot order is the generator cycle
+        zeta_j = zeta^(g^j), which makes the automorphism X -> X^g a cyclic
+        slot shift — the same property the reference establishes with its
+        Frobenius-map reordering (PlaintextSpace.cpp:69-110).
+        """
+        m, p, g = self.m, self.p, self.generator
+        if (p - 1) % m != 0:
+            raise NotImplementedError(
+                "PlaintextSpace with extension-field slots (ord_m(p) > 1) is not "
+                "implemented; all reference configs use m | p-1")
+        self.total_slots = self.phim
+        # usableSlots = largest power of two <= totalSlots (PlaintextSpace.cpp:37-42)
+        self.usable_slots = 1 << (self.total_slots.bit_length() - 1)
+
+        zeta = numbth.find_element_of_order(p, m)  # canonical primitive m-th root
+        pow_zeta = np.empty(m, dtype=np.int64)
+        acc = 1
+        for i in range(m):
+            pow_zeta[i] = acc
+            acc = acc * zeta % p
+        self.zeta = zeta
+        self._pow_zeta = pow_zeta
+
+        # slot exponents t_j with zeta_j = zeta^(t_j), t_j = g^j mod m
+        t = 1
+        slot_exp = []
+        for _ in range(self.total_slots):
+            slot_exp.append(t)
+            t = t * g % m
+        if len(set(slot_exp)) != self.total_slots:
+            raise ValueError(
+                f"generator {g} does not generate (Z/{m}Z)*: slot cycle is shorter "
+                "than the slot count")
+        self.slot_exponents = np.array(slot_exp, dtype=np.int64)
+
+        # Decode matrix D[j, c] = zeta_j^c  (evaluation at slot roots).
+        c = np.arange(self.phim, dtype=np.int64)
+        self.decode_matrix = pow_zeta[(self.slot_exponents[:, None] * c[None, :]) % m]
+
+        # Embed matrix E[:, j] = Lagrange basis L_j(X) coefficients mod p,
+        # L_j = (Phi_m/(X - zeta_j)) / Phi_m'(zeta_j): the CRT coefficients
+        # of PlaintextSpace::Init (PlaintextSpace.cpp:44-51) for linear factors.
+        phi_mod_p = [c % p for c in self.phim_x]
+        E = np.zeros((self.phim, self.total_slots), dtype=np.int64)
+        for j in range(self.total_slots):
+            zj = int(pow_zeta[slot_exp[j]])
+            # synthetic division of Phi_m by (X - zeta_j) mod p
+            quot = [0] * self.phim
+            carry = phi_mod_p[self.phim]  # leading coeff (=1)
+            for d in range(self.phim - 1, -1, -1):
+                quot[d] = carry
+                carry = (phi_mod_p[d] + carry * zj) % p
+            if carry != 0:
+                raise AssertionError("zeta_j is not a root of Phi_m mod p")
+            denom = 0
+            for d in range(self.phim - 1, -1, -1):
+                denom = (denom * zj + quot[d]) % p
+            inv = numbth.modinv(denom, p)
+            for d in range(self.phim):
+                E[d, j] = quot[d] * inv % p
+        self.embed_matrix = E
+
+    def embed_in_slots(self, values, only_usable: bool = True) -> np.ndarray:
+        """Pack per-slot values mod p into a plaintext polynomial.
+
+        Mirrors PlaintextSpace::EmbedInSlots (PlaintextSpace.cpp:112-121):
+        slots beyond len(values) are zero; with only_usable, slots past
+        usable_slots are zero as well.
+        """
+        limit = self.usable_slots if only_usable else self.total_slots
+        vals = np.zeros(self.total_slots, dtype=np.int64)
+        use = min(len(values), limit)
+        vals[:use] = np.asarray(values[:use], dtype=np.int64) % self.p
+        return (self.embed_matrix @ vals) % self.p
+
+    def decode_slots(self, poly_mod_p) -> np.ndarray:
+        """Evaluate a plaintext polynomial at every slot root (DecodeSlots,
+        PlaintextSpace.cpp:123-134)."""
+        coeffs = np.zeros(self.phim, dtype=np.int64)
+        arr = np.asarray(poly_mod_p, dtype=np.int64) % self.p
+        coeffs[:len(arr)] = arr
+        # D @ coeffs with int64-safe blocking: entries < p^2 * phim.
+        if self.p * self.p * self.phim < (1 << 62):
+            return (self.decode_matrix @ coeffs) % self.p
+        out = np.zeros(self.total_slots, dtype=np.int64)
+        step = max(1, (1 << 62) // (self.p * self.p))
+        for s in range(0, self.phim, step):
+            out = (out + self.decode_matrix[:, s:s + step] @ coeffs[s:s + step]) % self.p
+        return out
+
+    # -------------------------------------------------------------- automorph
+    def automorph_perm(self, k: int) -> np.ndarray:
+        """Row permutation of NTT slots for F(X) -> F(X^k).
+
+        DoubleCRT::automorph semantics (DoubleCRT.cpp:439-465):
+        new[zmsIdx[j]] = old[zmsIdx[j*k mod m]].
+        """
+        k = int(k) % self.m
+        if math.gcd(k, self.m) != 1:
+            raise ValueError(f"automorph: k={k} not in (Z/{self.m}Z)*")
+        perm = self._automorph_perms.get(k)
+        if perm is None:
+            perm = np.empty(self.phim, dtype=np.int64)
+            for j in self.zms:
+                perm[self.zms_idx[j]] = self.zms_idx[j * k % self.m]
+            self._automorph_perms[k] = perm
+        return perm
+
+    # ------------------------------------------------------------ NTT tables
+    @cached_property
+    def ntt_tables(self) -> tuple[np.ndarray, np.ndarray]:
+        """(forward, inverse) exact modular DFT matrices, [L, phim, phim].
+
+        forward[l] @ coeffs  == evaluations of the polynomial at the
+        primitive m-th roots w_l^{t_j} mod q_l (Cmodulus::FFT semantics,
+        CModulus.cpp:89-107).  inverse[l] @ evals == the unique
+        representative mod Phi_m (Cmodulus::iFFT, CModulus.cpp:109-132),
+        built as   (I | R) · (full inverse DFT restricted to primitive
+        columns):  placing the phim evaluations at their primitive indices
+        (zeros elsewhere), a full inverse DFT returns *some* degree<m poly
+        that agrees with the target at every primitive root, hence is
+        congruent to it mod Phi_m; R is the X^k-mod-Phi_m reduction matrix.
+        """
+        L, m, phim = self.num_primes, self.m, self.phim
+        ks = np.arange(m, dtype=np.int64)
+        cs = np.arange(phim, dtype=np.int64)
+        fwd = np.empty((L, phim, phim), dtype=np.int64)
+        inv = np.empty((L, phim, phim), dtype=np.int64)
+        for l in range(L):
+            q = int(self.primes[l])
+            w = int(self.roots[l])
+            pw = np.empty(m, dtype=np.int64)
+            acc = 1
+            for i in range(m):
+                pw[i] = acc
+                acc = acc * w % q
+            # forward: F[j, c] = w^(t_j * c)
+            fwd[l] = pw[(self.zms[:, None] * cs[None, :]) % m]
+            # full inverse DFT restricted to primitive columns:
+            # Wt[k, j] = m^{-1} * w^{-k * t_j}
+            minv = numbth.modinv(m, q)
+            Wt = pw[(-ks[:, None] * self.zms[None, :]) % m] * minv % q
+            # reduction matrix: red[r] = coeffs of X^(phim+r) mod Phi_m (mod q)
+            red = np.empty((m - phim, phim), dtype=np.int64)
+            cur = np.array([c % q for c in self.phim_x[:phim]], dtype=np.int64)
+            cur = (-cur) % q  # X^phim mod Phi_m = -(lower coeffs), Phi_m monic
+            red[0] = cur
+            for r in range(1, m - phim):
+                top = cur[phim - 1]
+                cur = np.roll(cur, 1)
+                cur[0] = 0
+                cur = (cur + top * red[0]) % q
+                red[r] = cur
+            inv[l] = (Wt[:phim] + red.T @ Wt[phim:]) % q
+        return fwd, inv
+
+    # ------------------------------------------------------------ CRT tables
+    @cached_property
+    def garner_tables(self) -> dict:
+        """Device tables for Garner mixed-radix CRT reconstruction and the
+        centered reduction of DoubleCRT::toPoly (DoubleCRT.cpp:349-398)."""
+        L, n = self.num_primes, self.n_limbs
+        primes = [int(q) for q in self.primes]
+        # invq[j, i] = q_j^{-1} mod q_i  (j < i), else 0
+        invq = np.zeros((L, L), dtype=np.int64)
+        for i in range(L):
+            for j in range(i):
+                invq[j, i] = numbth.modinv(primes[j], primes[i])
+        # W_j = prod_{k<j} q_k as limbs, and 2^10-shifted copies
+        W = np.zeros((L, n), dtype=np.int32)
+        Wh = np.zeros((L, n), dtype=np.int32)
+        acc = 1
+        for j in range(L):
+            W[j] = int_to_limbs(acc, n)
+            Wh[j] = int_to_limbs(acc << 10, n)
+            acc *= primes[j]
+        P = self.prime_product
+        # mixed-radix digits of floor(P/2): halfP = sum d_j W_j, 0 <= d_j < q_j
+        half = P // 2
+        digits = np.zeros(L, dtype=np.int64)
+        for j in range(L):
+            digits[j] = half % primes[j]
+            half //= primes[j]
+        assert half == 0
+        return dict(
+            invq=invq,
+            W=W, Wh=Wh,
+            P_limbs=int_to_limbs(P, n),
+            halfP_digits=digits,
+        )
+
+    @cached_property
+    def residue_tables(self) -> dict:
+        """Tables for limbs -> per-prime residues (from_poly) and limbs -> mod p.
+
+        4-bit chunk dot products keep every int32 partial sum exact:
+        chunk < 16, table entry < 2^20, #chunks = 4*n_limbs.
+        """
+        n = self.n_limbs
+        nchunks = 4 * n
+        L = self.num_primes
+        tbl = np.zeros((nchunks, L), dtype=np.int64)
+        wrap = np.zeros(L, dtype=np.int64)  # 2^(16n) mod q_l, for sign correction
+        for l in range(L):
+            q = int(self.primes[l])
+            for c in range(nchunks):
+                tbl[c, l] = pow(2, 4 * c, q)
+            wrap[l] = pow(2, LIMB_BITS * n, q)
+        ptbl = np.array([pow(2, 4 * c, self.p) for c in range(nchunks)], dtype=np.int64)
+        pwrap = np.int64(pow(2, LIMB_BITS * n, self.p))
+        return dict(chunk_tbl=tbl, wrap=wrap, p_chunk_tbl=ptbl, p_wrap=pwrap)
+
+    # ------------------------------------------------------------- misc limbs
+    @cached_property
+    def q_over_p_limbs(self) -> np.ndarray:
+        """floor(q/p) as limbs (message scaling, FHE-SI.cpp:31)."""
+        return int_to_limbs(self.q // self.p, self.n_limbs)
+
+    def __repr__(self):
+        return (f"FheContext(m={self.m}, logQ={self.log_q}, p={self.p}, "
+                f"g={self.generator}, phim={self.phim}, L={self.num_primes}, "
+                f"n_limbs={self.n_limbs})")
