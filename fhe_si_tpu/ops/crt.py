@@ -1,0 +1,108 @@
+"""Conversions between limb coefficients and per-prime residues.
+
+from_poly: the device analog of Cmodulus::FFT's input reduction
+(CModulus.cpp:89-107 reduces the big coefficients mod p_i before the
+transform): 4-bit chunk dot products against precomputed 2^(4c) mod q_l
+tables, with a two's complement sign correction.
+
+to_poly: the device analog of DoubleCRT::toPoly's incremental big-int CRT
+(DoubleCRT.cpp:349-398, intVecCRT NumbTh.cpp:306-338).  We use Garner
+mixed-radix reconstruction — all int32 modular ops — followed by a limb
+accumulation against precomputed partial-product tables and the same
+centered reduction (subtract P when the value exceeds floor(P/2)).
+The result is the exact centered representative in (-P/2, P/2), which is
+the unique value the reference's intVecCRT produces, so downstream
+bit-exactness is preserved.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import limbs as lb
+from .modular import barrett, mod_mul, mod_sub
+
+CHUNK = 4
+CMASK = (1 << CHUNK) - 1
+
+
+def limbs_to_residues(poly, chunk_tbl, wrap, q, qinv_f):
+    """[..., phim, n] limbs -> [..., L, phim] residues.
+
+    chunk_tbl: int32 [4n, L] with tbl[c, l] = 2^(4c) mod q_l
+    wrap:      int32 [L, 1]   2^(16n) mod q_l (sign correction)
+    Partial sums stay int32-exact: 15 * 2^20 * 4n < 2^31 for n <= 34.
+    """
+    n = poly.shape[-1]
+    assert 15 * (1 << 20) * 4 * n < (1 << 31), "limb width too large for one pass"
+    chunks = jnp.stack([(poly >> (CHUNK * i)) & CMASK for i in range(4)], axis=-1)
+    chunks = chunks.reshape(*poly.shape[:-1], 4 * n)
+    raw = jnp.einsum('...xc,cl->...lx', chunks, chunk_tbl,
+                     preferred_element_type=jnp.int32)
+    sign = lb.is_negative(poly)[..., None, :]  # [..., 1, phim]
+    raw = raw - sign * wrap
+    return barrett(raw, q, qinv_f)
+
+
+def limbs_to_mod_small(poly, p_chunk_tbl, p_wrap, p, pinv_f):
+    """[..., phim, n] limbs -> [..., phim] values mod small p (decrypt tail)."""
+    n = poly.shape[-1]
+    chunks = jnp.stack([(poly >> (CHUNK * i)) & CMASK for i in range(4)], axis=-1)
+    chunks = chunks.reshape(*poly.shape[:-1], 4 * n)
+    raw = jnp.einsum('...xc,c->...x', chunks, p_chunk_tbl,
+                     preferred_element_type=jnp.int32)
+    raw = raw - lb.is_negative(poly) * p_wrap
+    return barrett(raw, p, pinv_f)
+
+
+def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int):
+    """[..., L, phim] residues -> [..., phim, n] limbs of the centered
+    representative in (-P/2, P/2).
+
+    tables: dict from FheContext.garner_tables moved to device:
+      invq [L, L], W / Wh [L, n] (prefix products, plain and 2^10-shifted),
+      P_limbs [n], halfP_digits [L].
+    """
+    L = res.shape[-2]
+    invq = tables['invq']          # int32 [L, L]
+    W, Wh = tables['W'], tables['Wh']
+    P_limbs = tables['P_limbs']
+    half_digits = tables['halfP_digits']
+
+    # Garner: digits[j] in [0, q_j); after step j, rows i>j hold the partial
+    # mixed-radix remainders.
+    t = res
+    digits = []
+    for j in range(L):
+        a_j = t[..., j, :]
+        digits.append(a_j)
+        if j + 1 < L:
+            rest = t[..., j + 1:, :]
+            qr = q[j + 1:]
+            qir = qinv_f[j + 1:]
+            diff = mod_sub(rest, a_j[..., None, :] % qr, qr)
+            t = t.at[..., j + 1:, :].set(
+                mod_mul(diff, invq[j, j + 1:, None], qr, qir))
+    D = jnp.stack(digits, axis=-2)  # [..., L, phim]
+
+    # lexicographic compare against floor(P/2) digits, most significant last
+    gt = jnp.zeros(D.shape[:-2] + D.shape[-1:], dtype=jnp.int32)
+    for j in range(L):
+        dj = D[..., j, :]
+        hj = half_digits[j]
+        gt = jnp.where(dj > hj, 1, jnp.where(dj < hj, 0, gt))
+
+    # limb accumulation: sum_j digit_j * W_j, digits split at 10 bits
+    dl = (D & 1023)[..., None]           # [..., L, phim, 1]
+    dh = (D >> 10)[..., None]
+    Wb = W[:, None, :]                   # [L, 1, n]
+    Whb = Wh[:, None, :]
+    p0 = dl * Wb                         # < 2^26
+    p1 = dh * Whb
+    acc = jnp.sum(p0 & lb.LIMB_MASK, axis=-3) + jnp.sum(p1 & lb.LIMB_MASK, axis=-3)
+    hi = jnp.sum(p0 >> lb.LIMB_BITS, axis=-3) + jnp.sum(p1 >> lb.LIMB_BITS, axis=-3)
+    acc = acc + jnp.pad(hi[..., :-1], [(0, 0)] * (hi.ndim - 1) + [(1, 0)])
+    acc = acc - gt[..., None] * P_limbs
+    out = lb.normalize(acc)
+    if out.shape[-1] != n_limbs:
+        raise AssertionError("table width mismatch")
+    return out

@@ -1,0 +1,268 @@
+"""User-facing scheme layer: keys, plaintexts, ciphertexts.
+
+Mirrors the reference class surface (FHE-SI.h:14-117, Ciphertext.h:46-97,
+Plaintext.h:10-111) on top of the jit-compiled device pipelines in
+device.py.  All randomness is explicit: each constructor/op takes either a
+sampling.RandomSource (canonical draw order) or a pre-built randomness
+plan, so device results can be compared bit-exactly against the
+pure-Python oracle.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import sampling
+from .context import FheContext, int_to_limbs, limbs_to_int
+from .device import DeviceContext, device_context
+
+HWT = 64  # secret-key Hamming weight (FHE-SI.cpp:90)
+
+
+# ------------------------------------------------------------------ plaintext
+class Plaintext:
+    """Message polynomial mod p with slot packing (Plaintext.h:10-111)."""
+
+    def __init__(self, ctx: FheContext, message=None):
+        self.ctx = ctx
+        if message is None:
+            message = np.zeros(ctx.phim, dtype=np.int64)
+        msg = np.zeros(ctx.phim, dtype=np.int64)
+        arr = np.asarray(message, dtype=np.int64) % ctx.p
+        msg[:len(arr)] = arr
+        self.message = msg
+
+    @classmethod
+    def from_slots(cls, ctx: FheContext, values, only_usable: bool = True):
+        return cls(ctx, ctx.embed_in_slots(values, only_usable))
+
+    def decode_slots(self) -> np.ndarray:
+        return self.ctx.decode_slots(self.message)
+
+    def __eq__(self, other):
+        return (self.ctx is other.ctx
+                and np.array_equal(self.message, other.message))
+
+    # debug-side ops (Plaintext.h:70-107)
+    def __add__(self, other):
+        return Plaintext(self.ctx, (self.message + other.message) % self.ctx.p)
+
+    def __sub__(self, other):
+        return Plaintext(self.ctx, (self.message - other.message) % self.ctx.p)
+
+    def __mul__(self, other):
+        from .hostmath import oracle
+        return Plaintext(self.ctx,
+                         oracle.plaintext_mul(self.ctx, self.message, other.message))
+
+    def rotate(self, k: int) -> "Plaintext":
+        """Plaintext::operator>>= (Plaintext.h:88-97)."""
+        from .hostmath import oracle
+        return Plaintext(self.ctx, oracle.plaintext_rotate(self.ctx, self.message, k))
+
+    def __repr__(self):
+        return f"Plaintext({self.message.tolist()})"
+
+
+# ----------------------------------------------------------------------- keys
+class FheSecretKey:
+    def __init__(self, ctx: FheContext, sk_evals):
+        self.ctx = ctx
+        self.sk_evals = sk_evals          # [k, L, phim]
+
+    def decrypt(self, ct: "Ciphertext") -> Plaintext:
+        dev = device_context(self.ctx)
+        ct = ct.relinearized_view()
+        k = min(self.sk_evals.shape[0], ct.parts.shape[0])
+        msg = dev.decrypt_op(ct.parts[:k], self.sk_evals[:k])
+        return Plaintext(self.ctx, np.asarray(msg))
+
+
+class FhePublicKey:
+    def __init__(self, ctx: FheContext, pk_evals, pk_limbs):
+        self.ctx = ctx
+        self.pk_evals = pk_evals          # [2, L, phim]
+        self.pk_limbs = pk_limbs          # [2, phim, n]
+
+    def encrypt(self, ptxt: Plaintext,
+                rnd: sampling.EncryptRandomness | sampling.RandomSource) -> "Ciphertext":
+        ctx = self.ctx
+        if isinstance(rnd, sampling.RandomSource):
+            rnd = sampling.sample_encrypt(rnd, ctx.phim, ctx.stdev,
+                                          self.pk_evals.shape[0])
+        dev = device_context(ctx)
+        msg = jnp.asarray(ptxt.message, dtype=jnp.int32)
+        r = jnp.asarray(rnd.r, dtype=jnp.int32)
+        errors = jnp.asarray(np.stack(rnd.errors), dtype=jnp.int32)
+        parts = dev.encrypt_op(self.pk_evals, msg, r, errors)
+        return Ciphertext(ctx, parts=parts)
+
+
+def keygen(ctx: FheContext,
+           rnd: sampling.KeyGenRandomness | sampling.RandomSource
+           ) -> tuple[FheSecretKey, FhePublicKey]:
+    """FHESISecKey + FHESIPubKey construction (FHE-SI.cpp:42-91)."""
+    if isinstance(rnd, sampling.RandomSource):
+        rnd = sampling.sample_keygen(rnd, ctx.phim, ctx.stdev, ctx.log_q, HWT)
+    dev = device_context(ctx)
+    c1_limbs = jnp.asarray(
+        np.stack([int_to_limbs(c, ctx.n_limbs) for c in rnd.c1]))
+    sk_evals, pk_evals, pk_limbs = dev.keygen_op(
+        jnp.asarray(rnd.s, dtype=jnp.int32),
+        jnp.asarray(rnd.c0, dtype=jnp.int32), c1_limbs)
+    return FheSecretKey(ctx, sk_evals), FhePublicKey(ctx, pk_evals, pk_limbs)
+
+
+# ----------------------------------------------------------------- key switch
+class KeySwitch:
+    """KeySwitchSI (FHE-SI.h:73-117): matrix held as evaluations."""
+
+    def __init__(self, ctx: FheContext, matrix_evals):
+        self.ctx = ctx
+        self.matrix_evals = matrix_evals  # [2, K, L, phim]
+
+    @classmethod
+    def _init(cls, src_sk_evals, dst: FheSecretKey,
+              rnd: sampling.KeySwitchRandomness | sampling.RandomSource) -> "KeySwitch":
+        ctx = dst.ctx
+        n_src = src_sk_evals.shape[0]
+        if isinstance(rnd, sampling.RandomSource):
+            rnd = sampling.sample_keyswitch(rnd, ctx.phim, ctx.stdev, ctx.log_q,
+                                            n_src, ctx.ndigits)
+        dev = device_context(ctx)
+        A_limbs = jnp.asarray(np.stack(
+            [np.stack([int_to_limbs(c, ctx.n_limbs) for c in poly])
+             for poly in rnd.A]))
+        e = jnp.asarray(np.stack(rnd.e), dtype=jnp.int32)
+        matrix = dev.keyswitch_init_op(src_sk_evals, dst.sk_evals[1], A_limbs, e)
+        return cls(ctx, matrix)
+
+    @classmethod
+    def for_relinearization(cls, sk: FheSecretKey, rnd) -> "KeySwitch":
+        """InitS2 (FHE-SI.cpp:211-227): tensored key (1, s, s^2) -> (1, s)."""
+        dev = device_context(sk.ctx)
+        s = sk.sk_evals[1]
+        s2 = dev.square_evals_op(s)
+        src = jnp.stack([sk.sk_evals[0], s, s2])
+        return cls._init(src, sk, rnd)
+
+    @classmethod
+    def for_automorph(cls, sk: FheSecretKey, k: int, rnd) -> "KeySwitch":
+        """InitAutomorph (FHE-SI.cpp:229-239)."""
+        dev = device_context(sk.ctx)
+        perm_fn = dev.automorph_tensored_op(k)
+        src = perm_fn(sk.sk_evals)
+        return cls._init(src, sk, rnd)
+
+    def apply(self, ct: "Ciphertext") -> "Ciphertext":
+        """ApplyKeySwitch (FHE-SI.cpp:241-260)."""
+        dev = device_context(self.ctx)
+        ct = ct.relinearized_view()                    # ScaleDown if tensored
+        digit_evals = dev.byte_decomp_op(ct.parts)     # [k*nd, L, phim]
+        K = self.matrix_evals.shape[1]
+        if digit_evals.shape[0] != K:
+            # reference DotProduct pairs entries up to matrix width; a
+            # 2-part ctxt against a 3-part relin matrix is a usage error.
+            raise ValueError(
+                f"key-switch matrix width {K} != ciphertext digit count "
+                f"{digit_evals.shape[0]}")
+        parts = dev.keyswitch_apply_op(self.matrix_evals, digit_evals)
+        return Ciphertext(self.ctx, parts=parts)
+
+
+# ----------------------------------------------------------------- ciphertext
+class Ciphertext:
+    """Ciphertext (Ciphertext.h:46-97): non-tensored parts are limb
+    polynomials [k, phim, n]; tensored state holds evaluations [k, L, phim]
+    with scaled_up=True."""
+
+    def __init__(self, ctx: FheContext, parts=None, tprod=None):
+        self.ctx = ctx
+        self.parts = parts                # jnp [k, phim, n] or None
+        self.tprod = tprod                # jnp [k, L, phim] or None
+        self.scaled_up = tprod is not None
+
+    # -- state helpers
+    def relinearized_view(self) -> "Ciphertext":
+        """ScaleDown when tensored (Ciphertext.cpp:194-218), else self."""
+        if not self.scaled_up:
+            return self
+        dev = device_context(self.ctx)
+        return Ciphertext(self.ctx, parts=dev.scale_down_op(self.tprod))
+
+    def num_parts(self) -> int:
+        return (self.tprod if self.scaled_up else self.parts).shape[0]
+
+    # -- addition (Ciphertext.cpp:123-161)
+    def __add__(self, other):
+        dev = device_context(self.ctx)
+        if isinstance(other, Plaintext):
+            scaled = np.stack([
+                int_to_limbs((int(c) << self.ctx.log_q) // self.ctx.p,
+                             self.ctx.n_limbs)
+                for c in other.message])
+            scaled = jnp.asarray(scaled)
+            if self.scaled_up:
+                t0 = dev.add_const_tensored_op(self.tprod[0], scaled)
+                return Ciphertext(self.ctx,
+                                  tprod=self.tprod.at[0].set(t0))
+            p0 = dev.add_const_op(self.parts[0], scaled)
+            return Ciphertext(self.ctx, parts=self.parts.at[0].set(p0))
+        assert self.scaled_up == other.scaled_up, \
+            "cannot add tensored to non-tensored ciphertext"
+        if self.scaled_up:
+            a, b = self.tprod, other.tprod
+            k = min(a.shape[0], b.shape[0])
+            out = dev.add_tensored_op(a[:k], b[:k])
+            tail = a[k:] if a.shape[0] > k else b[k:]
+            if tail.shape[0]:
+                out = jnp.concatenate([out, tail])
+            return Ciphertext(self.ctx, tprod=out)
+        a, b = self.parts, other.parts
+        k = min(a.shape[0], b.shape[0])
+        out = dev.add_op(a[:k], b[:k])
+        tail = a[k:] if a.shape[0] > k else b[k:]
+        if tail.shape[0]:
+            out = jnp.concatenate([out, tail])
+        return Ciphertext(self.ctx, parts=out)
+
+    # -- multiplication (Ciphertext.cpp:167-262)
+    def __mul__(self, other):
+        dev = device_context(self.ctx)
+        if isinstance(other, Ciphertext):
+            assert not self.scaled_up and not other.scaled_up, \
+                "tensor multiply requires non-tensored operands"
+            tprod = dev.tensor_mul_op(self.parts, other.parts)
+            return Ciphertext(self.ctx, tprod=tprod)
+        if isinstance(other, Plaintext):
+            const_evals = dev.small_to_evals(
+                jnp.asarray(other.message, dtype=jnp.int32))
+            if self.scaled_up:
+                return Ciphertext(self.ctx, tprod=dev.mul_const_tensored_op(
+                    self.tprod, const_evals))
+            return Ciphertext(self.ctx, parts=dev.mul_const_op(
+                self.parts, const_evals))
+        ell = int(other)
+        if self.scaled_up:
+            s_mod = jnp.asarray((ell % self.ctx.primes)[:, None], dtype=jnp.int32)
+            return Ciphertext(self.ctx,
+                              tprod=dev.mul_scalar_tensored_op(self.tprod, s_mod))
+        return Ciphertext(self.ctx, parts=dev.mul_scalar_op(
+            self.parts, jnp.int32(abs(ell)), jnp.bool_(ell < 0)))
+
+    # -- automorphism / rotation (Ciphertext.cpp:264-275)
+    def automorph(self, k: int) -> "Ciphertext":
+        dev = device_context(self.ctx)
+        if self.scaled_up:
+            return Ciphertext(self.ctx,
+                              tprod=dev.automorph_tensored_op(k)(self.tprod))
+        return Ciphertext(self.ctx, parts=dev.automorph_op(k)(self.parts))
+
+    __rshift__ = automorph
+
+    def to_python_parts(self) -> list[list[int]]:
+        """Coefficient lists (Python ints) for oracle comparison/serialization."""
+        assert not self.scaled_up
+        parts = np.asarray(self.parts)
+        return [[limbs_to_int(parts[i, j]) for j in range(parts.shape[1])]
+                for i in range(parts.shape[0])]

@@ -1,0 +1,82 @@
+import numpy as np
+import pytest
+
+from fhe_si_tpu.context import FheContext, int_to_limbs, limbs_to_int
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return FheContext(m=22, log_q=80, p=23, generator=7)
+
+
+def test_palgebra(ctx):
+    assert ctx.phim == 10
+    assert list(ctx.zms) == [1, 3, 5, 7, 9, 13, 15, 17, 19, 21]
+    assert ctx.zms_idx[3] == 1 and ctx.zms_idx[2] == -1
+
+
+def test_prime_budget(ctx):
+    import math
+    budget = (2 * 80 * math.log(2) + math.log(23) + 2 * math.log(10)
+              + math.log(2))
+    assert math.log(ctx.prime_product) >= budget
+    assert all(int(q) % ctx.m == 1 for q in ctx.primes)
+    # roots have exact order m
+    for q, w in zip(ctx.primes, ctx.roots):
+        assert pow(int(w), ctx.m, int(q)) == 1
+        assert pow(int(w), ctx.m // 2, int(q)) != 1
+        assert pow(int(w), ctx.m // 11, int(q)) != 1
+
+
+def test_limb_roundtrip():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        v = int(rng.integers(-2 ** 62, 2 ** 62)) * int(rng.integers(0, 2 ** 40))
+        limbs = int_to_limbs(v, 10)
+        assert limbs_to_int(limbs) == ((v + 2 ** 159) % 2 ** 160) - 2 ** 159
+
+
+def test_slots_roundtrip(ctx):
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, ctx.p, ctx.total_slots)
+    poly = ctx.embed_in_slots(vals, only_usable=False)
+    assert np.array_equal(ctx.decode_slots(poly), vals % ctx.p)
+    # usable-slot embedding zeroes the tail
+    vals2 = rng.integers(0, ctx.p, ctx.usable_slots)
+    poly2 = ctx.embed_in_slots(vals2, only_usable=True)
+    dec = ctx.decode_slots(poly2)
+    assert np.array_equal(dec[:ctx.usable_slots], vals2 % ctx.p)
+    assert ctx.usable_slots == 8  # largest power of two <= 10
+
+
+def test_automorph_is_slot_rotation(ctx):
+    """X -> X^g must cyclically shift slots by one (PlaintextSpace.cpp:69-110
+    Frobenius-order property, established here by the generator-cycle slot
+    order)."""
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, ctx.p, ctx.total_slots)
+    poly = ctx.embed_in_slots(vals, only_usable=False)
+    # sigma_g in the coefficient domain via exponent folding
+    m, g = ctx.m, ctx.generator
+    up = np.zeros(m, dtype=object)
+    for i, c in enumerate(poly):
+        up[(i * g) % m] += int(c)
+    from fhe_si_tpu.hostmath.oracle import poly_mod_phim, pad
+    sig = pad(poly_mod_phim(list(up), ctx.phim_x), ctx.phim)
+    dec = ctx.decode_slots(np.array([c % ctx.p for c in sig]))
+    assert np.array_equal(dec, np.roll(vals % ctx.p, -1))
+
+
+def test_ntt_inverse_consistency(ctx):
+    fwd, inv = ctx.ntt_tables
+    for l in (0, ctx.num_primes - 1):
+        q = int(ctx.primes[l])
+        prod = (inv[l] @ fwd[l]) % q
+        assert np.array_equal(prod, np.eye(ctx.phim, dtype=np.int64) % q)
+
+
+def test_rejects_bad_params():
+    with pytest.raises(NotImplementedError):
+        FheContext(m=22, log_q=80, p=2 ** 21 + 3, generator=7)
+    with pytest.raises(ValueError):
+        FheContext(m=36, log_q=80, p=37, generator=5)  # (Z/36)* not cyclic

@@ -1,0 +1,140 @@
+"""Kernel-level exactness tests: every device primitive against Python ints."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fhe_si_tpu.context import FheContext, int_to_limbs, limbs_to_int
+from fhe_si_tpu.device import device_context
+from fhe_si_tpu.hostmath.oracle import reduce_coeff
+from fhe_si_tpu.ops import crt, limbs as lb, modular
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return FheContext(m=22, log_q=80, p=23, generator=7)
+
+
+@pytest.fixture(scope="module")
+def dev(ctx):
+    return device_context(ctx)
+
+
+def test_barrett_and_modmul_randomized():
+    rng = np.random.default_rng(0)
+    for qv in (524309, 1048433, 23, 3, 999983):
+        q = jnp.int32(qv)
+        qinv = jnp.float32(1.0 / qv)
+        # barrett over the full int32 t range (pos and neg)
+        t = rng.integers(-2 ** 31 + 1, 2 ** 31 - 1, 4096, dtype=np.int64)
+        # keep |t|/q below the f32 error budget used in production paths
+        t = t[np.abs(t) < qv * (1 << 20)]
+        got = np.asarray(modular.barrett(jnp.asarray(t, jnp.int32), q, qinv))
+        assert np.array_equal(got, t % qv)
+    # full-width modmul for 20-bit primes
+    for qv in (1048433, 524309, 999983):
+        q = jnp.int32(qv)
+        qinv = jnp.float32(1.0 / qv)
+        a = rng.integers(0, qv, 8192, dtype=np.int64)
+        b = rng.integers(0, qv, 8192, dtype=np.int64)
+        got = np.asarray(modular.mod_mul(jnp.asarray(a, jnp.int32),
+                                         jnp.asarray(b, jnp.int32), q, qinv))
+        assert np.array_equal(got, (a * b) % qv)
+
+
+def test_limb_add_mul_shift(ctx, dev):
+    rng = np.random.default_rng(1)
+    n = ctx.n_limbs
+    mod = 1 << (16 * n)
+    xs = [int(rng.integers(-2 ** 62, 2 ** 62)) * int(rng.integers(0, 2 ** 50))
+          for _ in range(32)]
+    ys = [int(rng.integers(-2 ** 62, 2 ** 62)) for _ in range(32)]
+    xl = jnp.asarray(np.stack([int_to_limbs(v, n) for v in xs]))
+    yl = jnp.asarray(np.stack([int_to_limbs(v, n) for v in ys]))
+
+    s = np.asarray(lb.add(xl, yl))
+    for i in range(32):
+        assert limbs_to_int(s[i], signed=False) == (xs[i] + ys[i]) % mod
+
+    d = np.asarray(lb.sub(xl, yl))
+    for i in range(32):
+        assert limbs_to_int(d[i], signed=False) == (xs[i] - ys[i]) % mod
+
+    c = 37813  # < 2^20
+    m = np.asarray(lb.mul_small(xl, c))
+    for i in range(32):
+        assert limbs_to_int(m[i], signed=False) == (xs[i] * c) % mod
+
+    for shift in (1, 16, 33, ctx.log_q + 1):
+        sh = np.asarray(lb.arith_shift_right(xl, shift))
+        for i in range(32):
+            assert limbs_to_int(sh[i]) == limbs_to_int(int_to_limbs(xs[i], n)) >> shift
+        sl = np.asarray(lb.shift_left(xl, shift))
+        for i in range(32):
+            assert limbs_to_int(sl[i], signed=False) == (xs[i] << shift) % mod
+
+
+def test_reduce_mod_q(ctx, dev):
+    rng = np.random.default_rng(2)
+    xs = [int(rng.integers(-2 ** 63, 2 ** 63)) for _ in range(64)]
+    xl = jnp.asarray(np.stack([int_to_limbs(v, ctx.n_limbs) for v in xs]))
+    s = np.asarray(lb.reduce_mod_q(xl, ctx.log_q, False, dev.q_limbs))
+    p = np.asarray(lb.reduce_mod_q(xl, ctx.log_q, True, dev.q_limbs))
+    for i, v in enumerate(xs):
+        assert limbs_to_int(s[i]) == reduce_coeff(v, ctx.log_q)
+        assert limbs_to_int(p[i], signed=False) == reduce_coeff(v, ctx.log_q, True)
+
+
+def test_byte_decomp(ctx, dev):
+    rng = np.random.default_rng(3)
+    xs = [int(rng.integers(-2 ** 63, 2 ** 63)) for _ in range(32)]
+    xl = jnp.asarray(np.stack([int_to_limbs(v, ctx.n_limbs) for v in xs]))
+    digs = np.asarray(lb.byte_decomp(xl, ctx.log_q, ctx.digit_bits,
+                                     ctx.ndigits, dev.q_limbs))
+    for i, v in enumerate(xs):
+        pos = reduce_coeff(v, ctx.log_q, True)
+        for j in range(ctx.ndigits):
+            want = (pos >> (ctx.digit_bits * j)) & ((1 << ctx.digit_bits) - 1)
+            assert digs[i, j] == want
+
+
+def test_crt_roundtrip_and_residues(ctx, dev):
+    rng = np.random.default_rng(4)
+    P = ctx.prime_product
+    vals = []
+    for _ in range(ctx.phim):
+        v = int(rng.integers(0, 2 ** 63)) * int(rng.integers(0, 2 ** 63)) % P
+        vals.append(v - P if v > P // 2 else v)
+    # include boundary-ish values
+    vals[0], vals[1], vals[2] = 0, P // 2, -(P // 2)
+    poly = jnp.asarray(np.stack([int_to_limbs(v, ctx.n_limbs) for v in vals]))[None]
+    res = crt.limbs_to_residues(poly, dev.chunk_tbl, dev.wrap, dev.q, dev.qinv_f)
+    want = np.array([[v % int(q) for v in vals] for q in ctx.primes])
+    assert np.array_equal(np.asarray(res)[0], want)
+    back = crt.residues_to_limbs(res, dev.garner, dev.q, dev.qinv_f, ctx.n_limbs)
+    got = [limbs_to_int(np.asarray(back)[0, j]) for j in range(ctx.phim)]
+    assert got == vals
+
+    # mod-p path
+    mp = np.asarray(crt.limbs_to_mod_small(poly, dev.p_chunk_tbl, dev.p_wrap,
+                                           dev.p, dev.pinv_f))
+    assert np.array_equal(mp[0], np.array([v % ctx.p for v in vals]))
+
+
+def test_ntt_roundtrip_and_dft_oracle(ctx, dev):
+    """Matmul NTT against the slow direct DFT (the analog of the reference's
+    debug tDFT oracle, bluestein.cpp:148-172)."""
+    rng = np.random.default_rng(5)
+    res = rng.integers(0, 1, (1, ctx.num_primes, ctx.phim), dtype=np.int64)
+    for l in range(ctx.num_primes):
+        res[0, l] = rng.integers(0, int(ctx.primes[l]), ctx.phim)
+    x = jnp.asarray(res, jnp.int32)
+    ev = np.asarray(dev.ntt_fwd(x))
+    for l in (0, ctx.num_primes - 1):
+        q, w = int(ctx.primes[l]), int(ctx.roots[l])
+        for j, t in enumerate(ctx.zms):
+            want = sum(int(res[0, l, c]) * pow(w, int(t) * c, q)
+                       for c in range(ctx.phim)) % q
+            assert ev[0, l, j] == want
+    back = np.asarray(dev.ntt_inv(jnp.asarray(ev, jnp.int32)))
+    assert np.array_equal(back, res)
