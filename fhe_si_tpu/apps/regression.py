@@ -1,0 +1,153 @@
+"""Encrypted ordinary least squares (reference Regression.h:14-216).
+
+Pipeline: batch data columns into plaintext slots, encrypt each cell,
+compute X^T y and X^T X homomorphically, rotate-and-reduce slot sums,
+adjugate-invert X^T X with a key-switch hook, and mask all slots but the
+first with random noise.  theta_i = adj(X^T X) . (X^T y) and det are
+returned encrypted; the caller divides by det after decryption (exactly
+the reference's contract).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import sampling, scheme
+from ..context import FheContext
+from .matrix import Matrix
+
+
+def load_data(filename: str):
+    """Reference LoadData (Regression.h:14-41): first line 'd n', then n
+    lines of d features + 1 label."""
+    try:
+        with open(filename) as f:
+            tokens = f.read().split()
+    except OSError as e:
+        raise SystemExit(f"Unable to read data file: {e}")
+    dim, n = int(tokens[0]), int(tokens[1])
+    vals = [int(t) for t in tokens[2:2 + n * (dim + 1)]]
+    raw = Matrix()
+    labels = []
+    for i in range(n):
+        row = vals[i * (dim + 1):(i + 1) * (dim + 1)]
+        raw.add_row(row[:dim])
+        labels.append(row[dim])
+    return raw, labels, dim
+
+
+def batch_data(ctx: FheContext, raw_data: Matrix, labels: list[int]):
+    """Reference BatchData (Regression.h:43-66): usableSlots rows per batch,
+    one plaintext per (batch, column), plus label plaintexts."""
+    batch = ctx.usable_slots
+    ptxt_data, ptxt_labels = [], []
+    n, d = raw_data.num_rows(), raw_data.num_cols()
+    for i in range(0, n, batch):
+        hi = min(i + batch, n)
+        row = [scheme.Plaintext.from_slots(
+                   ctx, [raw_data.at(k, j) % ctx.p for k in range(i, hi)])
+               for j in range(d)]
+        ptxt_data.append(row)
+        ptxt_labels.append(scheme.Plaintext.from_slots(
+            ctx, [labels[k] % ctx.p for k in range(i, hi)]))
+    return ptxt_data, ptxt_labels
+
+
+class Regression:
+    """Reference Regression class (Regression.h:68-191)."""
+
+    def __init__(self, ctx: FheContext, source: sampling.RandomSource):
+        self.ctx = ctx
+        self.source = source
+        self.secret_key, self.public_key = scheme.keygen(ctx, source)
+        self.key_switch = scheme.KeySwitch.for_relinearization(
+            self.secret_key, source)
+        # automorphism keys for g^(2^i)  (Regression.h:70-81)
+        self.auto_key_switch = []
+        self.auto_ks = []
+        k = ctx.generator
+        n_slots = ctx.usable_slots
+        while n_slots > 1:
+            self.auto_ks.append(k)
+            self.auto_key_switch.append(
+                scheme.KeySwitch.for_automorph(self.secret_key, k, source))
+            n_slots >>= 1
+            k = k * k % ctx.m
+        self.data = Matrix()
+        self.labels: list[scheme.Ciphertext] = []
+
+    def add_data(self, ptxt_data, ptxt_labels):
+        """Encrypt every batched cell + labels (Regression.h:83-95)."""
+        for row, label in zip(ptxt_data, ptxt_labels):
+            self.data.add_row([self.public_key.encrypt(pt, self.source)
+                               for pt in row])
+            self.labels.append(self.public_key.encrypt(label, self.source))
+
+    def clear(self):
+        self.data = Matrix()
+        self.labels = []
+
+    def _sum_batched(self, ct: scheme.Ciphertext) -> scheme.Ciphertext:
+        """Rotate-and-reduce over slots (Regression.h:166-178)."""
+        for k, ks in zip(self.auto_ks, self.auto_key_switch):
+            tmp = ks.apply(ct >> k)
+            ct = ct + tmp
+        return ct
+
+    def _noise(self) -> scheme.Ciphertext:
+        """Random values in every slot but slot 0 (Regression.h:180-190)."""
+        vals = self.source.uniform_mod_p(self.ctx.total_slots, self.ctx.p)
+        vals[0] = 0
+        pt = scheme.Plaintext.from_slots(self.ctx, vals, only_usable=False)
+        return self.public_key.encrypt(pt, self.source)
+
+    def regress(self):
+        """Regression.h:102-149. Returns (theta: list[Ciphertext], det)."""
+        ksw = self.key_switch
+
+        def process(ct):
+            return self._sum_batched(ksw.apply(ct))
+
+        data_t = self.data.transpose()
+        last = data_t.mul_vector(self.labels)       # X^T y  (column)
+        xtx = data_t.mult_by_transpose()            # X^T X
+        last = last.map_all(process)
+        xtx = xtx.map_all(process)
+
+        if self.data.num_cols() == 1:
+            return [last.at(0, 0)], xtx.at(0, 0)
+
+        inv, det = xtx.invert(lambda ct: ksw.apply(ct))
+        theta_m = inv @ last
+        theta_m = theta_m.map_all(lambda ct: ksw.apply(ct))
+
+        theta = [theta_m.at(i, 0) + self._noise()
+                 for i in range(theta_m.num_rows())]
+        det = det + self._noise()
+        return theta, det
+
+
+def regress_pt(raw_data: Matrix, labels: list[int]):
+    """Plaintext oracle RegressPT (Regression.h:193-214): exact integers."""
+    a = raw_data.transpose()
+    tmp = a.mul_vector(labels)
+    ata = a.mult_by_transpose()
+    if raw_data.num_cols() == 1:
+        return [tmp.at(0, 0)], ata.at(0, 0)
+    inv, det = ata.invert()
+    theta_m = inv @ tmp
+    return [theta_m.at(i, 0) for i in range(theta_m.num_rows())], det
+
+
+def derive_log_q(n_points: int, dim: int, p: int) -> tuple[int, int]:
+    """Test_Regression.cpp:85-108 parameter derivation: returns (logQ, xi)."""
+    block_size = 1
+    val = (p - 1) // 2 - 1
+    while val > 1:
+        block_size <<= 1
+        val >>= 1
+    n = (p - 1) // 2 - 1
+    n_blocks = (n_points + block_size - 1) // block_size
+    xi = max(n_blocks, dim)
+    lg_q = (4.5 * np.log(n)
+            + max(1, dim - 1) * (np.log(1280.0) + 2 * np.log(n) + np.log(xi)))
+    return int(np.ceil(lg_q / np.log(2) + 24.7)), xi

@@ -1,0 +1,168 @@
+"""Encrypted mean / second moment / covariance (reference Statistics.h:12-208).
+
+Covariance follows the reference formula  n * sum(x x^T) - mu mu^T  with
+rotate-and-reduce slot sums and noise masking of non-first slots.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .. import sampling, scheme
+from ..context import FheContext
+from .matrix import Matrix
+
+
+def load_data(filename: str):
+    """Statistics-side LoadData (Test_Statistics.cpp:9-33): labels ignored."""
+    try:
+        with open(filename) as f:
+            tokens = f.read().split()
+    except OSError as e:
+        raise SystemExit(f"Unable to read data file: {e}")
+    dim, n = int(tokens[0]), int(tokens[1])
+    vals = [int(t) for t in tokens[2:2 + n * (dim + 1)]]
+    data = Matrix()
+    for i in range(n):
+        row = vals[i * (dim + 1):(i + 1) * (dim + 1)]
+        data.add_row(row[:dim])
+    return data, dim
+
+
+def batch_data(ctx: FheContext, raw_data: Matrix):
+    """Test_Statistics.cpp:35-64: per-batch plaintext blocks + block sizes."""
+    batch = ctx.usable_slots
+    blocks, block_sizes = [], []
+    n, d = raw_data.num_rows(), raw_data.num_cols()
+    for i in range(0, n, batch):
+        hi = min(i + batch, n)
+        row = [scheme.Plaintext.from_slots(
+                   ctx, [raw_data.at(k, j) % ctx.p for k in range(i, hi)])
+               for j in range(d)]
+        blocks.append(row)
+        block_sizes.append(scheme.Plaintext(ctx, [(hi - i) % ctx.p]))
+    return blocks, block_sizes
+
+
+class Statistics:
+    """Reference Statistics class (Statistics.h:12-171)."""
+
+    def __init__(self, ctx: FheContext, source: sampling.RandomSource):
+        self.ctx = ctx
+        self.source = source
+        self.secret_key, self.public_key = scheme.keygen(ctx, source)
+        self.key_switch = scheme.KeySwitch.for_relinearization(
+            self.secret_key, source)
+        self.auto_key_switch = []
+        self.auto_ks = []
+        k = ctx.generator
+        n_slots = ctx.usable_slots
+        while n_slots > 1:
+            self.auto_ks.append(k)
+            self.auto_key_switch.append(
+                scheme.KeySwitch.for_automorph(self.secret_key, k, source))
+            n_slots >>= 1
+            k = k * k % ctx.m
+        self.data = Matrix()
+        self.n_elems: list[scheme.Ciphertext] = []
+
+    def add_data(self, blocks, block_sizes):
+        """Statistics.h:29-41."""
+        for row, bs in zip(blocks, block_sizes):
+            self.data.add_row([self.public_key.encrypt(pt, self.source)
+                               for pt in row])
+            self.n_elems.append(self.public_key.encrypt(bs, self.source))
+
+    def _sum_batched(self, ct):
+        for k, ks in zip(self.auto_ks, self.auto_key_switch):
+            ct = ct + ks.apply(ct >> k)
+        return ct
+
+    def _noise(self):
+        vals = self.source.uniform_mod_p(self.ctx.total_slots, self.ctx.p)
+        vals[0] = 0
+        pt = scheme.Plaintext.from_slots(self.ctx, vals, only_usable=False)
+        return self.public_key.encrypt(pt, self.source)
+
+    def compute_nth_moment(self, n: int):
+        """Statistics.h:48-84: returns (moment: list[Ciphertext], denom)."""
+        if n < 1 or n > 2:
+            raise ValueError("only moments 1 and 2 are supported")
+        cols = self.data.num_cols()
+        moments = []
+        denom = self.n_elems[0]
+        for j in range(cols):
+            acc = self.data.at(0, j)
+            if n == 2:
+                acc = acc * acc
+            for i in range(1, self.data.num_rows()):
+                if j == 0:
+                    denom = denom + self.n_elems[i]
+                tmp = self.data.at(i, j)
+                if n == 2:
+                    tmp = tmp * tmp
+                acc = acc + tmp
+            if n == 2:
+                acc = self.key_switch.apply(acc)
+            moments.append(self._sum_batched(acc))
+        moments = [mj + self._noise() for mj in moments]
+        return moments, denom
+
+    def compute_covariance(self):
+        """Statistics.h:86-128: returns (cov: Matrix, mu: list, n, n2)."""
+        ksw = self.key_switch
+        mu, n_ct = self.compute_nth_moment(1)
+
+        mu_mat = Matrix([list(mu)]).transpose().mult_by_transpose()
+        d = mu_mat.num_rows()
+        for i in range(d):
+            for j in range(i, d):
+                v = ksw.apply(mu_mat.at(i, j)) * (-1)
+                mu_mat.set(i, j, v)
+                if i != j:
+                    mu_mat.set(j, i, v)
+
+        cov = self.data.transpose().mult_by_transpose()
+        out = Matrix([[None] * d for _ in range(d)])
+        for i in range(d):
+            for j in range(i, d):
+                c = self._sum_batched(ksw.apply(cov.at(i, j)))
+                c = ksw.apply(c * n_ct)
+                c = c + mu_mat.at(i, j)
+                c = c + self._noise()
+                out.set(i, j, c)
+                out.set(j, i, c)
+
+        n2 = ksw.apply(n_ct * n_ct)
+        return out, mu, n_ct, n2
+
+
+# ------------------------------------------------------------ plaintext oracles
+def compute_nth_moment_pt(data: Matrix, n: int) -> list[int]:
+    """Statistics.h:173-184."""
+    return [sum(data.at(i, j) ** n for i in range(data.num_rows()))
+            for j in range(data.num_cols())]
+
+
+def compute_covariance_pt(data: Matrix) -> Matrix:
+    """Statistics.h:191-208:  n * (X^T X) - mu mu^T  over exact ints."""
+    cov = data.transpose().mult_by_transpose()
+    n = data.num_rows()
+    cov = Matrix([[cov.at(i, j) * n for j in range(cov.num_cols())]
+                  for i in range(cov.num_rows())])
+    mu = compute_nth_moment_pt(data, 1)
+    mu_mat = Matrix([list(mu)]).transpose().mult_by_transpose()
+    return cov - mu_mat
+
+
+def derive_log_q(n_points: int, dim: int, p: int) -> tuple[int, int]:
+    """Test_Statistics.cpp:194-217 parameter derivation: (logQ, xi)."""
+    block_size = 1
+    val = (p - 1) // 2
+    while val > 1:
+        block_size <<= 1
+        val >>= 1
+    n = (p - 1) // 2 - 1
+    n_blocks = (n_points + block_size - 1) // block_size
+    xi = max(n_blocks, dim)
+    lg_q = 6.5 * np.log(n) + np.log(xi)
+    return int(np.ceil(lg_q / np.log(2) + 36.1)), xi

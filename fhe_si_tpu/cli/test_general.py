@@ -1,0 +1,71 @@
+"""CLI mirror of Test_General_x (Test_General.cpp:16-101): mixed expression
+with ciphertext mul, const add/mul, slot rotation with automorph keyswitch,
+negation — checked against Plaintext arithmetic.
+
+usage: python -m fhe_si_tpu.cli.test_general [p g logQ] [seed]
+(defaults: p=2027 g=3 logQ=120, the reference's hardcoded parameters)
+"""
+import sys
+import time
+
+import numpy as np
+
+from .. import sampling, scheme
+from ..context import FheContext
+
+
+def main(argv):
+    p, g, log_q = (2027, 3, 120)
+    if len(argv) >= 4:
+        p, g, log_q = int(argv[1]), int(argv[2]), int(argv[3])
+    seed = int(argv[4]) if len(argv) > 4 else int(time.time())
+
+    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g)
+    src = sampling.RandomSource(seed)
+
+    sk, pk = scheme.keygen(ctx, src)
+    ksw = scheme.KeySwitch.for_relinearization(sk, src)
+
+    num_slots = ctx.total_slots
+    rot_amt = int(src.rng.integers(0, num_slots))
+    rot_deg = pow(g, rot_amt, ctx.m)
+    auto_ksw = scheme.KeySwitch.for_automorph(sk, rot_deg, src)
+
+    ptxts = [scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
+             for _ in range(4)]
+    const1 = scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
+    const2 = scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
+
+    c = [pk.encrypt(pt, src) for pt in ptxts]
+    p0, p1, p2, p3 = ptxts
+
+    # plaintext side (Test_General.cpp:65-71)
+    p1 = p1 * p2
+    p0 = p0 + const1
+    p2 = p2 * const2
+    p3 = p3.rotate(rot_amt)
+    p1 = scheme.Plaintext(ctx, (p1.message * -1) % ctx.p)
+    p3 = p3 * p2
+    p0 = p0 - p3
+
+    # ciphertext side (Test_General.cpp:73-88)
+    c[1] = ksw.apply(c[1] * c[2])
+    c[0] = c[0] + const1
+    c[2] = c[2] * const2
+    c[3] = auto_ksw.apply(c[3] >> rot_deg)
+    c[1] = c[1] * (-1)
+    c[3] = ksw.apply(c[3] * c[2])
+    c[0] = c[0] + (c[3] * (-1))
+
+    ok = True
+    for i, (ct, pt) in enumerate(zip(c, [p0, p1, p2, p3])):
+        got = sk.decrypt(ct).message
+        if not np.array_equal(got, pt.message):
+            print(f"oops {i}")
+            ok = False
+    print("All tests finished." + ("" if ok else " (FAILURES)"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -1,0 +1,70 @@
+"""CLI mirror of Test_Regression_x (Test_Regression.cpp:69-131).
+
+usage: python -m fhe_si_tpu.cli.test_regression datafile p generator [seed]
+"""
+import sys
+import time
+
+from .. import sampling
+from ..apps import regression as reg
+from ..context import FheContext
+
+
+def main(argv):
+    if len(argv) < 4:
+        print("usage: test_regression datafile p generator [seed]")
+        return 1
+    datafile, p, g = argv[1], int(argv[2]), int(argv[3])
+    seed = int(argv[4]) if len(argv) > 4 else int(time.time())
+
+    raw, labels, dim = reg.load_data(datafile)
+    log_q, xi = reg.derive_log_q(len(labels), dim, p)
+
+    print("=" * 48)
+    print("Running regression tests using Brakerski system.")
+    print("=" * 48)
+    print(f"Parameters:\n  data file: {datafile}\n  logQ: {log_q}\n  p: {p}"
+          f"\n  generator: {g}")
+
+    theta_pt, det_pt = reg.regress_pt(raw, labels)
+    print("Expected values:")
+    for i, t in enumerate(theta_pt):
+        print(f"  theta[{i}] = {t % p}")
+    print(f"  Determinant: {det_pt % p}\n")
+
+    start = time.time()
+    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
+    source = sampling.RandomSource(seed)
+    model = reg.Regression(ctx, source)
+    print(f"Setup time: {time.time() - start:.2f}")
+
+    t0 = time.time()
+    ptxt_data, ptxt_labels = reg.batch_data(ctx, raw, labels)
+    print(f"Batch time: {time.time() - t0:.2f}")
+
+    t0 = time.time()
+    model.add_data(ptxt_data, ptxt_labels)
+    print(f"Encryption time: {time.time() - t0:.2f}")
+
+    t0 = time.time()
+    theta_enc, det_enc = model.regress()
+    print(f"Regression time: {time.time() - t0:.2f}")
+
+    t0 = time.time()
+    print("\nComputed values:")
+    ok = True
+    for i, ct in enumerate(theta_enc):
+        got = int(model.secret_key.decrypt(ct).decode_slots()[0])
+        print(f"  theta[{i}] = {got}")
+        ok &= got == theta_pt[i] % p
+    det_got = int(model.secret_key.decrypt(det_enc).decode_slots()[0])
+    print(f"  Determinant: {det_got}\n")
+    ok &= det_got == det_pt % p
+    print(f"Decryption time: {time.time() - t0:.2f}")
+    print(f"Total time: {time.time() - start:.2f}")
+    print("MATCH" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

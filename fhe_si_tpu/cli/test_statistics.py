@@ -1,0 +1,88 @@
+"""CLI mirror of Test_Statistics_x (Test_Statistics.cpp:178-244).
+
+usage: python -m fhe_si_tpu.cli.test_statistics datafile p generator [seed]
+"""
+import sys
+import time
+
+from .. import sampling
+from ..apps import statistics as st
+from ..context import FheContext
+
+
+def main(argv):
+    if len(argv) < 4:
+        print("usage: test_statistics datafile p generator [seed]")
+        return 1
+    datafile, p, g = argv[1], int(argv[2]), int(argv[3])
+    seed = int(argv[4]) if len(argv) > 4 else int(time.time())
+
+    data, dim = st.load_data(datafile)
+    n_rows = data.num_rows()
+    log_q, xi = st.derive_log_q(n_rows, dim, p)
+
+    print("=" * 48)
+    print("Running statistics test using Brakerski system.")
+    print("=" * 48)
+    print(f"Parameters:\n  data file: {datafile}\n  logQ: {log_q}\n  p: {p}"
+          f"\n  generator: {g}")
+
+    mean_pt = st.compute_nth_moment_pt(data, 1)
+    cov_pt = st.compute_covariance_pt(data)
+    print("Expected values:")
+    print("  Mean:", ", ".join(str(v % p) for v in mean_pt))
+    print(f"  N: {n_rows % p}")
+    print("  Covariance:")
+    for i in range(cov_pt.num_rows()):
+        print("   ", " ".join(str(cov_pt.at(i, j) % p)
+                              for j in range(cov_pt.num_cols())))
+    print(f"  N^2: {(n_rows % p) ** 2 % p}\n")
+
+    start = time.time()
+    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
+    source = sampling.RandomSource(seed)
+    stats = st.Statistics(ctx, source)
+    print(f"Setup time: {time.time() - start:.2f}")
+
+    t0 = time.time()
+    blocks, block_sizes = st.batch_data(ctx, data)
+    print(f"Batch time: {time.time() - t0:.2f}")
+
+    t0 = time.time()
+    stats.add_data(blocks, block_sizes)
+    print(f"Encryption time: {time.time() - t0:.2f}")
+
+    t0 = time.time()
+    cov_enc, mu_enc, n_enc, n2_enc = stats.compute_covariance()
+    print(f"Computation time: {time.time() - t0:.2f}")
+
+    sk = stats.secret_key
+    t0 = time.time()
+    ok = True
+    print("\nComputed values:")
+    mean_got = [int(sk.decrypt(ct).decode_slots()[0]) for ct in mu_enc]
+    print("  Mean:", ", ".join(map(str, mean_got)))
+    ok &= mean_got == [v % p for v in mean_pt]
+    n_got = int(sk.decrypt(n_enc).decode_slots()[0])
+    print(f"  N: {n_got}")
+    ok &= n_got == n_rows % p
+    print("  Covariance:")
+    d = cov_enc.num_rows()
+    for i in range(d):
+        row = []
+        for j in range(d):
+            v = int(sk.decrypt(cov_enc.at(i, j)).decode_slots()[0])
+            row.append(v)
+            ok &= v == cov_pt.at(i, j) % p
+        print("   ", " ".join(map(str, row)))
+    n2_got = int(sk.decrypt(n2_enc).decode_slots()[0])
+    print(f"  N^2: {n2_got}")
+    ok &= n2_got == (n_rows % p) ** 2 % p
+    print(f"Decryption time: {time.time() - t0:.2f}")
+    print(f"Total time: {time.time() - start:.2f}")
+    print("MATCH" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

@@ -74,7 +74,9 @@ class FheContext:
 
     def __init__(self, m: int, log_q: int, p: int, generator: int,
                  decomp_size: int = 3, xi: int = 1, stdev: float = 3.2,
-                 primes: list[int] | None = None):
+                 primes: list[int] | None = None,
+                 roots: list[int] | None = None,
+                 num_primes_multiple: int = 1):
         if p >= 1 << PRIME_MAX_BITS:
             raise NotImplementedError(
                 f"plaintext modulus p={p} >= 2^{PRIME_MAX_BITS} is not supported by "
@@ -107,14 +109,22 @@ class FheContext:
                       + 2 * math.log(self.phim) + math.log(2) + math.log(max(xi, 1)))
             primes = numbth.generate_prime_chain(
                 m, budget, max_bits=PRIME_MAX_BITS, exclude=(p,))
+            if len(primes) % num_primes_multiple:
+                # pad so the CRT-limb axis shards evenly over a device mesh
+                primes = numbth.extend_prime_chain(
+                    primes, m,
+                    num_primes_multiple - len(primes) % num_primes_multiple,
+                    exclude=(p,))
         self.primes = np.array(primes, dtype=np.int64)
         self.num_primes = len(primes)
         self.prime_product = math.prod(int(q) for q in primes)
         # order-m root of unity per prime (deterministic; Cmodulus analog,
         # CModulus.cpp:59-86 — we need order m, not 2m: the matmul-DFT uses
-        # no negacyclic chirp).
-        self.roots = np.array(
-            [numbth.find_element_of_order(int(q), m) for q in primes], dtype=np.int64)
+        # no negacyclic chirp).  Imported contexts restore their saved roots
+        # so transforms rebuild identically (FHEContext.cpp:62-81 parity).
+        if roots is None:
+            roots = [numbth.find_element_of_order(int(q), m) for q in primes]
+        self.roots = np.array(roots, dtype=np.int64)
 
         # ---- limb widths ----
         # Full width covers CRT-reconstructed centered values |x| < P/2

@@ -336,6 +336,47 @@ class DeviceContext:
             return modular.mod_mul(evals, evals, self.q, self.qinv_f)
         return run
 
+    # ------------------------------------------------------- batched pipelines
+    def _mul_relin_one(self, a_parts, b_parts, matrix_evals):
+        """Full benchmark op for ONE ciphertext pair: tensor multiply,
+        scale down, byte-decompose, key switch (the reference's
+        Ciphertext::operator*= + ApplyKeySwitch path)."""
+        a_ev = modular.mod_mul(self.from_poly(a_parts), self.p_mod_q,
+                               self.q, self.qinv_f)
+        b_ev = self.from_poly(b_parts)
+        na, nb = a_ev.shape[0], b_ev.shape[0]
+        tprod = [None] * (na + nb - 1)
+        for i in range(na):
+            for j in range(nb):
+                pr = modular.mod_mul(a_ev[i], b_ev[j], self.q, self.qinv_f)
+                k = i + j
+                tprod[k] = pr if tprod[k] is None else modular.mod_add(
+                    tprod[k], pr, self.q)
+        tprod = jnp.stack(tprod)
+        # ScaleDown
+        x = self.to_poly(tprod)
+        y = lb.shift_left(x, 1)
+        y = lb.add(y, jnp.broadcast_to(self.q_limbs, y.shape))
+        y = lb.arith_shift_right(y, self.log_q + 1)
+        parts = self.reduce_signed(y)
+        # ByteDecomp + key switch
+        digs = lb.byte_decomp(parts, self.log_q, self.digit_bits,
+                              self.ndigits, self.q_limbs)
+        digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
+        dig_ev = self.ntt_fwd(modular.barrett(digs[:, None, :], self.q,
+                                              self.qinv_f))
+        prod = modular.mod_mul(matrix_evals, dig_ev[None], self.q, self.qinv_f)
+        acc = prod[:, 0]
+        for k in range(1, prod.shape[1]):
+            acc = modular.mod_add(acc, prod[:, k], self.q)
+        return self.reduce_signed(self.to_poly(acc))
+
+    @cached_property
+    def batched_mul_relin_op(self):
+        """vmapped mul+relinearize over a leading batch axis:
+        ([B, ka, phim, n], [B, kb, phim, n], [2, K, L, phim]) -> [B, 2, phim, n]."""
+        return jax.jit(jax.vmap(self._mul_relin_one, in_axes=(0, 0, None)))
+
 
 _DEVICE_CACHE: dict[int, DeviceContext] = {}
 

@@ -205,3 +205,22 @@ def generate_prime_chain(m: int, nat_log_product: float, *, max_bits: int = 20,
         size_left -= math.log(p)
         p -= step
     return chain
+
+
+def extend_prime_chain(chain: list[int], m: int, count: int, *,
+                       exclude: tuple[int, ...] = ()) -> list[int]:
+    """Append `count` more primes ≡ 1 (mod m) continuing downward from the
+    smallest chain member (extra primes only add CRT slack — always legal)."""
+    step = m if m % 2 == 0 else 2 * m
+    p = min(chain) - step
+    out = list(chain)
+    while count > 0:
+        while p > max(2, m) and not (is_prime(p) and p not in exclude
+                                     and p not in out):
+            p -= step
+        if p <= max(2, m):
+            raise ValueError(f"prime window exhausted extending chain for m={m}")
+        out.append(p)
+        count -= 1
+        p -= step
+    return out

@@ -1,9 +1,11 @@
-"""Test env: force CPU with 8 virtual devices (sharding tests) and a
+"""Test env: force REAL CPU (the axon sitecustomize force-registers the
+TPU backend otherwise) with 8 virtual devices for sharding tests, plus a
 persistent compilation cache. Must run before any jax import."""
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["PALLAS_AXON_POOL_IPS"] = ""   # disarm axon TPU auto-registration
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
