@@ -94,9 +94,40 @@ def bench_oracle(iters=5):
     return rate
 
 
+def bench_big(p=4007, log_q=170, batch=8, iters=3):
+    """Regression-scale config (phim=2002): reported to stderr only —
+    compile cost makes it too slow for the default driver run."""
+    import jax.numpy as jnp
+    from fhe_si_tpu import sampling, scheme
+    from fhe_si_tpu.context import FheContext
+    from fhe_si_tpu.device import device_context
+    from fhe_si_tpu.hostmath import numbth
+
+    g = numbth.find_group_generator(p - 1)
+    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g)
+    dev = device_context(ctx)
+    src = sampling.RandomSource(1)
+    sk, pk = scheme.keygen(ctx, src)
+    ksw = scheme.KeySwitch.for_relinearization(sk, src)
+    c1 = pk.encrypt(scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, ctx.p)), src)
+    a = jnp.broadcast_to(c1.parts[None], (batch,) + tuple(c1.parts.shape))
+    out = dev.batched_mul_relin_op(a, a, ksw.matrix_evals)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = dev.batched_mul_relin_op(a, a, ksw.matrix_evals)
+    out.block_until_ready()
+    rate = batch * iters / (time.perf_counter() - t0)
+    print(f"[bench] BIG config p={p} phim={ctx.phim} L={ctx.num_primes} "
+          f"logQ={log_q}: {rate:.1f} mults/s (batch={batch})", file=sys.stderr)
+    return rate
+
+
 def main():
     dev_rate, ntt_rate, scale_ms = bench_device()
     cpu_rate = bench_oracle()
+    if "--big" in sys.argv:
+        bench_big()
     print(json.dumps({
         "metric": "homomorphic mults/s per chip (logQ=80, mul+relin)",
         "value": round(dev_rate, 1),

@@ -76,11 +76,12 @@ class Regression:
         self.labels: list[scheme.Ciphertext] = []
 
     def add_data(self, ptxt_data, ptxt_labels):
-        """Encrypt every batched cell + labels (Regression.h:83-95)."""
+        """Encrypt every batched cell + labels (Regression.h:83-95), fused
+        into one batched device dispatch per block row."""
         for row, label in zip(ptxt_data, ptxt_labels):
-            self.data.add_row([self.public_key.encrypt(pt, self.source)
-                               for pt in row])
-            self.labels.append(self.public_key.encrypt(label, self.source))
+            cts = self.public_key.encrypt_batch(list(row) + [label], self.source)
+            self.data.add_row(cts[:-1])
+            self.labels.append(cts[-1])
 
     def clear(self):
         self.data = Matrix()

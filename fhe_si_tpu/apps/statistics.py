@@ -66,11 +66,11 @@ class Statistics:
         self.n_elems: list[scheme.Ciphertext] = []
 
     def add_data(self, blocks, block_sizes):
-        """Statistics.h:29-41."""
+        """Statistics.h:29-41, fused into one batched dispatch per block."""
         for row, bs in zip(blocks, block_sizes):
-            self.data.add_row([self.public_key.encrypt(pt, self.source)
-                               for pt in row])
-            self.n_elems.append(self.public_key.encrypt(bs, self.source))
+            cts = self.public_key.encrypt_batch(list(row) + [bs], self.source)
+            self.data.add_row(cts[:-1])
+            self.n_elems.append(cts[-1])
 
     def _sum_batched(self, ct):
         for k, ks in zip(self.auto_ks, self.auto_key_switch):

@@ -372,6 +372,41 @@ class DeviceContext:
         return self.reduce_signed(self.to_poly(acc))
 
     @cached_property
+    def batched_encrypt_op(self):
+        """vmapped encrypt: (pk [2,L,phim], msgs [B,phim], r [B,phim],
+        errors [B,2,phim]) -> parts [B,2,phim,n]."""
+        def one(pk_evals, msg, r, errors):
+            r_evals = self.small_to_evals(r)
+            e_evals = modular.mod_mul(self.small_to_evals(errors), self.p_mod_q,
+                                      self.q, self.qinv_f)
+            ct_evals = modular.mod_add(
+                modular.mod_mul(pk_evals, r_evals[None], self.q, self.qinv_f),
+                e_evals, self.q)
+            parts = self.to_poly(ct_evals)
+            scaled = lb.scale_coeffs_by_bigint(msg, self.q_over_p,
+                                               self.q_over_p_sh10)
+            parts = parts.at[0].set(lb.add(parts[0], scaled))
+            return self.reduce_signed(parts)
+        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0)))
+
+    @cached_property
+    def batched_decrypt_op(self):
+        """vmapped decrypt: (parts [B,k,phim,n], sk [k,L,phim]) -> [B,phim]."""
+        def one(parts_limbs, sk_evals):
+            part_evals = self.from_poly(parts_limbs)
+            prod = modular.mod_mul(part_evals, sk_evals, self.q, self.qinv_f)
+            acc = prod[0]
+            for i in range(1, prod.shape[0]):
+                acc = modular.mod_add(acc, prod[i], self.q)
+            d = self.to_poly(acc)
+            y = lb.mul_small(d, 2 * self.p)
+            y = lb.add(y, jnp.broadcast_to(self.q_limbs, y.shape))
+            y = lb.arith_shift_right(y, self.log_q + 1)
+            return crt.limbs_to_mod_small(y, self.p_chunk_tbl, self.p_wrap,
+                                          self.p, self.pinv_f)
+        return jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+    @cached_property
     def batched_mul_relin_op(self):
         """vmapped mul+relinearize over a leading batch axis:
         ([B, ka, phim, n], [B, kb, phim, n], [2, K, L, phim]) -> [B, 2, phim, n]."""

@@ -171,6 +171,22 @@ def find_element_of_order(q: int, e: int) -> int:
     raise ValueError(f"no order-{e} element found mod {q}")
 
 
+def find_group_generator(m: int) -> int:
+    """Smallest generator of (Z/mZ)*, when cyclic (m = 1,2,4,p^k,2p^k).
+
+    Convenience for choosing the `generator` context parameter (the
+    reference leaves this to the user; README:36-37 requires g to
+    generate Z/(p-1)Z)."""
+    phi = euler_phi(m)
+    facs = factorize(phi)
+    for g in range(2, m):
+        if math.gcd(g, m) != 1:
+            continue
+        if all(pow(g, phi // f, m) != 1 for f in facs):
+            return g
+    raise ValueError(f"(Z/{m}Z)* has no generator (group is not cyclic)")
+
+
 def generate_prime_chain(m: int, nat_log_product: float, *, max_bits: int = 20,
                          min_bits: int = 19, exclude: tuple[int, ...] = ()) -> list[int]:
     """TPU prime chain: primes ≡ 1 (mod m), below 2^max_bits, whose product

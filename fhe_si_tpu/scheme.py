@@ -77,6 +77,13 @@ class FheSecretKey:
         msg = dev.decrypt_op(ct.parts[:k], self.sk_evals[:k])
         return Plaintext(self.ctx, np.asarray(msg))
 
+    def decrypt_batch(self, cts: list["Ciphertext"]) -> list[Plaintext]:
+        """One fused device dispatch for many (2-part) decryptions."""
+        dev = device_context(self.ctx)
+        parts = jnp.stack([ct.relinearized_view().parts[:2] for ct in cts])
+        msgs = np.asarray(dev.batched_decrypt_op(parts, self.sk_evals[:2]))
+        return [Plaintext(self.ctx, msgs[i]) for i in range(len(cts))]
+
 
 class FhePublicKey:
     def __init__(self, ctx: FheContext, pk_evals, pk_limbs):
@@ -96,6 +103,22 @@ class FhePublicKey:
         errors = jnp.asarray(np.stack(rnd.errors), dtype=jnp.int32)
         parts = dev.encrypt_op(self.pk_evals, msg, r, errors)
         return Ciphertext(ctx, parts=parts)
+
+    def encrypt_batch(self, ptxts: list[Plaintext],
+                      source: sampling.RandomSource) -> list["Ciphertext"]:
+        """One fused device dispatch for many encryptions (randomness drawn
+        in the same canonical per-ciphertext order as encrypt())."""
+        ctx = self.ctx
+        dev = device_context(ctx)
+        plans = [sampling.sample_encrypt(source, ctx.phim, ctx.stdev,
+                                         self.pk_evals.shape[0])
+                 for _ in ptxts]
+        msgs = jnp.asarray(np.stack([pt.message for pt in ptxts]), jnp.int32)
+        rs = jnp.asarray(np.stack([pl.r for pl in plans]), jnp.int32)
+        errs = jnp.asarray(np.stack([np.stack(pl.errors) for pl in plans]),
+                           jnp.int32)
+        parts = dev.batched_encrypt_op(self.pk_evals, msgs, rs, errs)
+        return [Ciphertext(ctx, parts=parts[i]) for i in range(len(ptxts))]
 
 
 def keygen(ctx: FheContext,
@@ -153,6 +176,10 @@ class KeySwitch:
         perm_fn = dev.automorph_tensored_op(k)
         src = perm_fn(sk.sk_evals)
         return cls._init(src, sk, rnd)
+
+    def __repr__(self):
+        return (f"KeySwitch(K={self.matrix_evals.shape[1]}, "
+                f"L={self.matrix_evals.shape[2]}, phim={self.ctx.phim})")
 
     def apply(self, ct: "Ciphertext") -> "Ciphertext":
         """ApplyKeySwitch (FHE-SI.cpp:241-260)."""
@@ -266,3 +293,8 @@ class Ciphertext:
         parts = np.asarray(self.parts)
         return [[limbs_to_int(parts[i, j]) for j in range(parts.shape[1])]
                 for i in range(parts.shape[0])]
+
+    def __repr__(self):
+        state = "tensored" if self.scaled_up else "parts"
+        return (f"Ciphertext({state}={self.num_parts()}, phim={self.ctx.phim}, "
+                f"logQ={self.ctx.log_q})")

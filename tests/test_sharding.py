@@ -1,0 +1,74 @@
+"""Multi-device SPMD: sharded batched mul+relin on the 8-device CPU mesh
+must be bit-identical to the single-device result."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fhe_si_tpu import sampling, scheme
+from fhe_si_tpu.context import FheContext
+from fhe_si_tpu.device import device_context
+from fhe_si_tpu.ops import limbs as lb
+from fhe_si_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    ctx = FheContext(m=22, log_q=80, p=23, generator=7, num_primes_multiple=2)
+    dev = device_context(ctx)
+    src = sampling.RandomSource(7)
+    sk, pk = scheme.keygen(ctx, src)
+    ksw = scheme.KeySwitch.for_relinearization(sk, src)
+    cts = [pk.encrypt(scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, ctx.p)),
+                      src) for _ in range(8)]
+    return ctx, dev, sk, ksw, cts
+
+
+def test_sharded_equals_single(setup):
+    ctx, dev, sk, ksw, cts = setup
+    a = jnp.stack([c.parts for c in cts[:4]])
+    b = jnp.stack([c.parts for c in cts[4:]])
+
+    # single-device reference: batched op + block reduce
+    out_single = dev.batched_mul_relin_op(a, b, ksw.matrix_evals)
+    acc = out_single[0]
+    for i in range(1, 4):
+        acc = dev.reduce_signed(lb.add(acc, out_single[i]))
+
+    m = pmesh.make_mesh(n_dp=4, n_limb=2)
+    step = pmesh.sharded_mul_relin(dev, m)
+    a_sh = pmesh.shard_batched_parts(m, a)
+    b_sh = pmesh.shard_batched_parts(m, b)
+    mat_sh = jax.device_put(ksw.matrix_evals, pmesh.limb_sharding(m, 2, 4))
+    out_sharded = step(a_sh, b_sh, mat_sh)
+
+    assert np.array_equal(np.asarray(acc), np.asarray(out_sharded))
+
+    # and it decrypts to the sum of the products
+    ct = scheme.Ciphertext(ctx, parts=out_sharded)
+    got = sk.decrypt(ct).message
+    from fhe_si_tpu.hostmath import oracle
+    want = np.zeros(ctx.phim, dtype=np.int64)
+    for x, y in zip(cts[:4], cts[4:]):
+        mx = sk.decrypt(x).message
+        my = sk.decrypt(y).message
+        want = (want + oracle.plaintext_mul(ctx, mx, my)) % ctx.p
+    assert np.array_equal(np.asarray(got), want)
+
+
+def test_limb_sharded_elementwise(setup):
+    """Residue tensors shard over the prime axis with zero collectives for
+    elementwise ops."""
+    ctx, dev, sk, ksw, cts = setup
+    m = pmesh.make_mesh(n_dp=4, n_limb=2)
+    ev = dev.from_poly(cts[0].parts)                  # [2, L, phim]
+    sharding = pmesh.limb_sharding(m, 1, 3)
+    ev_sh = jax.device_put(ev, sharding)
+    from fhe_si_tpu.ops import modular
+    f = jax.jit(lambda x: modular.mod_mul(x, x, dev.q, dev.qinv_f),
+                in_shardings=sharding, out_shardings=sharding)
+    out = f(ev_sh)
+    want = modular.mod_mul(ev, ev, dev.q, dev.qinv_f)
+    assert np.array_equal(np.asarray(out), np.asarray(want))
