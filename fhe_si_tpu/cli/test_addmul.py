@@ -69,16 +69,20 @@ def run_test(ctx, keys, seed: int, disp: bool) -> bool:
 
 
 def main(argv):
-    args = [a for a in argv[1:] if not a.startswith("--")]
-    trials = 100
-    for a in argv[1:]:
-        if a.startswith("--trials"):
-            trials = int(a.split("=", 1)[1]) if "=" in a else int(
-                argv[argv.index(a) + 1])
-    if len(args) < 3:
-        print("usage: test_addmul logQ p generator [seed] [--trials N]")
+    import argparse
+    ap = argparse.ArgumentParser(
+        prog="test_addmul",
+        usage="test_addmul logQ p generator [seed] [--trials N]")
+    ap.add_argument("logQ", type=int)
+    ap.add_argument("p", type=int)
+    ap.add_argument("generator", type=int)
+    ap.add_argument("seed", type=int, nargs="?", default=None)
+    ap.add_argument("--trials", type=int, default=100)
+    try:
+        ns = ap.parse_args(argv[1:])
+    except SystemExit:
         return 1
-    log_q, p, g = int(args[0]), int(args[1]), int(args[2])
+    log_q, p, g, trials = ns.logQ, ns.p, ns.generator, ns.trials
 
     print("=" * 50)
     print("Running add/multiply tests using Brakerski system.")
@@ -91,8 +95,8 @@ def main(argv):
     ksw = scheme.KeySwitch.for_relinearization(sk, key_src)
     keys = (sk, pk, ksw)
 
-    if len(args) >= 4:
-        ok = run_test(ctx, keys, int(args[3]), disp=True)
+    if ns.seed is not None:
+        ok = run_test(ctx, keys, ns.seed, disp=True)
         return 0 if ok else 1
 
     start = int(time.time())

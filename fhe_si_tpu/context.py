@@ -51,6 +51,23 @@ def int_to_limbs(x: int, n: int) -> np.ndarray:
                     dtype=np.int32)
 
 
+def exact_modmatmul_f64(a: np.ndarray, b: np.ndarray, q: int,
+                        k_chunk: int = 2048) -> np.ndarray:
+    """Exact (a @ b) mod q for entries < q < 2^20 using float64 BLAS.
+
+    Per-chunk products are < q^2 * k_chunk < 2^52 — exactly representable
+    in f64, so dgemm is exact; chunks are reduced mod q before summing.
+    ~100x faster than numpy's loop-based int64 matmul on large tables.
+    """
+    out = np.zeros((a.shape[0], b.shape[1]), dtype=np.int64)
+    af = a.astype(np.float64)
+    bf = b.astype(np.float64)
+    for s in range(0, a.shape[1], k_chunk):
+        part = af[:, s:s + k_chunk] @ bf[s:s + k_chunk]
+        out = (out + part.astype(np.int64) % q) % q
+    return out
+
+
 def limbs_to_int(limbs, signed: bool = True) -> int:
     """Inverse of int_to_limbs; interprets as two's complement if signed."""
     limbs = np.asarray(limbs)
@@ -295,7 +312,11 @@ class FheContext:
                 cur[0] = 0
                 cur = (cur + top * red[0]) % q
                 red[r] = cur
-            inv[l] = (Wt[:phim] + red.T @ Wt[phim:]) % q
+            if (m - phim) > 256:
+                inv[l] = (Wt[:phim] + exact_modmatmul_f64(
+                    red.T % q, Wt[phim:], q)) % q
+            else:
+                inv[l] = (Wt[:phim] + red.T @ Wt[phim:]) % q
         return fwd, inv
 
     # ------------------------------------------------------------ CRT tables

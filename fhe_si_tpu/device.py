@@ -69,11 +69,28 @@ class DeviceContext:
         self.q_over_p_sh10 = jnp.asarray(int_to_limbs((ctx.q // ctx.p) << 10, ctx.n_limbs))
 
     # ----------------------------------------------------------- primitives
+    # NTT backend: 'einsum' (XLA dots, always available) or 'pallas'
+    # (fused VMEM kernel, large-phim TPU path).  Selected per-context via
+    # use_pallas_ntt; FHE_SI_TPU_PALLAS_NTT=1 opts in globally.
+    @cached_property
+    def use_pallas_ntt(self) -> bool:
+        import os
+        return (os.environ.get("FHE_SI_TPU_PALLAS_NTT") == "1"
+                and self.phim >= 256)
+
     def ntt_fwd(self, x):
         """coefficient residues [..., L, phim] -> evaluations."""
+        if self.use_pallas_ntt:
+            from .ops import pallas_ntt
+            return pallas_ntt.modmatmul_pallas(self.fwd_chunks, x,
+                                               self.q, self.qinv_f)
         return ntt.modmatmul(self.fwd_chunks, x, self.q, self.qinv_f)
 
     def ntt_inv(self, x):
+        if self.use_pallas_ntt:
+            from .ops import pallas_ntt
+            return pallas_ntt.modmatmul_pallas(self.inv_chunks, x,
+                                               self.q, self.qinv_f)
         return ntt.modmatmul(self.inv_chunks, x, self.q, self.qinv_f)
 
     def from_poly(self, poly_limbs):
