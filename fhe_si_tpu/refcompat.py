@@ -1,0 +1,178 @@
+"""Bridges between reference-format artifacts and fhe_si_tpu objects.
+
+The reference stores keys as DoubleCRT residues in ITS prime basis
+(~60-bit NTL primes, evaluations at (root^2)^{t_j} per bluestein.h:26:
+BluesteinFFT(...,root,...) = DFT(...,root^2,...)).  Ciphertexts are
+stored in the coefficient domain (ScaleDown before export), so they
+convert directly; keys are re-based exactly: interpolate per reference
+prime, CRT across the reference chain, then re-encode in our basis.
+All re-basing is host-side exact Python-int math (import/export is a
+setup-path operation).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import refserial, scheme
+from .context import FheContext, int_to_limbs
+from .device import device_context
+from .hostmath import numbth
+
+try:  # jnp only needed for building device-side key objects
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jnp = None
+
+
+def context_from_reference(ref: refserial.RefContext) -> FheContext:
+    """Build an equivalent fhe_si_tpu context (same scheme parameters; our
+    own device prime basis — the chain is an internal exact-arithmetic
+    device, SURVEY §1)."""
+    return FheContext(m=ref.m, log_q=ref.log_q, p=ref.p,
+                      generator=ref.generator, decomp_size=ref.decomp_size)
+
+
+# ------------------------------------------------------- reference NTT basis
+def _ref_eval_points(ref: refserial.RefContext, ctx: FheContext, q: int,
+                     root: int) -> list[int]:
+    """omega^t for t in (Z/mZ)* ascending, omega = root^2 mod q."""
+    omega = root * root % q
+    pw = [1] * ref.m
+    for i in range(1, ref.m):
+        pw[i] = pw[i - 1] * omega % q
+    return [pw[int(t)] for t in ctx.zms], pw
+
+
+def _interpolate_mod_prime(row: np.ndarray, ref: refserial.RefContext,
+                           ctx: FheContext, q: int, root: int) -> list[int]:
+    """Inverse of the reference FFT for one prime: find deg<phim poly with
+    f(omega^{t_j}) = row[j] mod q.  Same closed form as context.ntt_tables:
+    zero-extend the evals over all m indices, full inverse DFT, reduce mod
+    Phi_m (any filler values at non-primitive indices yield the same class
+    mod Phi_m; zeros chosen)."""
+    m, phim = ref.m, ctx.phim
+    omega = root * root % q
+    # inverse DFT: c_k = m^{-1} sum_j y_{t_j} omega^{-k t_j}
+    minv = numbth.modinv(m, q)
+    pw = [1] * m
+    winv = numbth.modinv(omega, q)
+    for i in range(1, m):
+        pw[i] = pw[i - 1] * winv % q
+    full = [0] * m
+    for k in range(m):
+        acc = 0
+        for j, t in enumerate(ctx.zms):
+            acc += int(row[j]) * pw[(k * int(t)) % m]
+        full[k] = acc % q * minv % q
+    # reduce mod Phi_m over Z_q
+    phi = [c % q for c in ctx.phim_x]
+    for i in range(m - 1, phim - 1, -1):
+        c = full[i]
+        if c:
+            for d in range(phim + 1):
+                full[i - phim + d] = (full[i - phim + d] - c * phi[d]) % q
+    return full[:phim]
+
+
+def dcrt_to_poly(dcrt: dict[int, np.ndarray], ref: refserial.RefContext,
+                 ctx: FheContext) -> list[int]:
+    """Reference DoubleCRT residues -> exact centered coefficients
+    (toPoly semantics, DoubleCRT.cpp:349-398, over the reference chain)."""
+    polys = []
+    primes = []
+    for idx in sorted(dcrt):
+        q, root = ref.chain[idx]
+        polys.append(_interpolate_mod_prime(dcrt[idx], ref, ctx, q, root))
+        primes.append(q)
+    P = 1
+    out = [0] * ctx.phim
+    for r, q in enumerate(primes):
+        if r == 0:
+            out = [c % q for c in polys[0]]
+            P = q
+            continue
+        pinv = numbth.modinv(P % q, q)
+        for j in range(ctx.phim):
+            delta = (polys[r][j] - out[j]) * pinv % q
+            out[j] += P * delta
+        P *= q
+    half = P // 2
+    return [c - P if c % P > half else c % P for c in [v % P for v in out]]
+
+
+def poly_to_dcrt(coeffs: list[int], ref: refserial.RefContext,
+                 ctx: FheContext) -> dict[int, np.ndarray]:
+    """Exact coefficients -> reference-basis DoubleCRT residues (the
+    reference's FFT, for exporting our keys to its format)."""
+    out = {}
+    for idx, (q, root) in enumerate(ref.chain):
+        points, pw = _ref_eval_points(ref, ctx, q, root)
+        red = [int(c) % q for c in coeffs[:ctx.phim]]
+        row = np.zeros(ctx.phim, dtype=np.int64)
+        for j, t in enumerate(ctx.zms):
+            acc = 0
+            for k, c in enumerate(red):
+                if c:
+                    acc += c * pw[(int(t) * k) % ref.m]
+            row[j] = acc % q
+        out[idx] = row
+    return out
+
+
+# ----------------------------------------------------------- object bridges
+def import_ciphertext(buf: bytes, ctx: FheContext) -> scheme.Ciphertext:
+    parts = refserial.read_ciphertext(buf)
+    arr = np.stack([
+        np.stack([int_to_limbs(c, ctx.n_limbs)
+                  for c in (part + [0] * (ctx.phim - len(part)))[:ctx.phim]])
+        for part in parts])
+    return scheme.Ciphertext(ctx, parts=jnp.asarray(arr))
+
+
+def export_ciphertext(ct: scheme.Ciphertext) -> bytes:
+    ct = ct.relinearized_view()
+    return refserial.write_ciphertext(ct.to_python_parts())
+
+
+def import_secret_key(buf: bytes, ref: refserial.RefContext,
+                      ctx: FheContext) -> scheme.FheSecretKey:
+    dcrts = refserial.read_key(buf)
+    dev = device_context(ctx)
+    evals = []
+    for d in dcrts:
+        poly = dcrt_to_poly(d, ref, ctx)
+        limbs = jnp.asarray(np.stack([int_to_limbs(c, ctx.n_limbs)
+                                      for c in poly]))
+        evals.append(dev.from_poly(limbs))
+    return scheme.FheSecretKey(ctx, jnp.stack(evals))
+
+
+def export_secret_key(sk: scheme.FheSecretKey,
+                      ref: refserial.RefContext) -> bytes:
+    ctx = sk.ctx
+    dev = device_context(ctx)
+    dcrts = []
+    for i in range(sk.sk_evals.shape[0]):
+        limbs = dev.to_poly(sk.sk_evals[i])
+        poly = [int(v) for v in _limbs_rows_to_ints(np.asarray(limbs))]
+        dcrts.append(poly_to_dcrt(poly, ref, ctx))
+    return refserial.write_key(dcrts)
+
+
+def _limbs_rows_to_ints(limbs: np.ndarray) -> list[int]:
+    from .context import limbs_to_int
+    return [limbs_to_int(limbs[j]) for j in range(limbs.shape[0])]
+
+
+def export_reference_context(ctx: FheContext,
+                             chain: list[tuple[int, int]] | None = None
+                             ) -> bytes:
+    """Write an SI-context stream.  With chain=None, exports OUR device
+    chain (q, root-of-order-m) — readable by this library; to target the
+    actual reference binaries pass a chain of NTL-sized primes with 2m-th
+    roots, as they assert p % 2m == 1 (FHEContext.cpp:30-43)."""
+    if chain is None:
+        chain = [(int(q), int(r))
+                 for q, r in zip(ctx.primes, ctx.roots)]
+    return refserial.write_context(refserial.RefContext(
+        ctx.m, ctx.log_q, ctx.p, ctx.generator, ctx.decomp_size, chain))
