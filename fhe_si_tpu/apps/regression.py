@@ -105,14 +105,19 @@ class Regression:
         """Regression.h:102-149. Returns (theta: list[Ciphertext], det)."""
         ksw = self.key_switch
 
-        def process(ct):
-            return self._sum_batched(ksw.apply(ct))
-
         data_t = self.data.transpose()
         last = data_t.mul_vector(self.labels)       # X^T y  (column)
         xtx = data_t.mult_by_transpose()            # X^T X
-        last = last.map_all(process)
-        xtx = xtx.map_all(process)
+        # MapAll{keyswitch; SumBatchedData} fused into batched dispatches
+        # (bit-identical to per-entry processing)
+        d = xtx.num_rows()
+        entries = ([last.at(i, 0) for i in range(d)]
+                   + [xtx.at(i, j) for i in range(d) for j in range(d)])
+        rotations = list(zip(self.auto_ks, self.auto_key_switch))
+        processed = scheme.keyswitch_sum_batch(entries, ksw, rotations)
+        last = Matrix([[processed[i]] for i in range(d)])
+        xtx = Matrix([[processed[d + i * d + j] for j in range(d)]
+                      for i in range(d)])
 
         if self.data.num_cols() == 1:
             return [last.at(0, 0)], xtx.at(0, 0)

@@ -101,9 +101,14 @@ class Statistics:
                 if n == 2:
                     tmp = tmp * tmp
                 acc = acc + tmp
-            if n == 2:
-                acc = self.key_switch.apply(acc)
-            moments.append(self._sum_batched(acc))
+            moments.append(acc)
+        # batched keyswitch (n==2) + rotate-and-reduce over all columns
+        rotations = list(zip(self.auto_ks, self.auto_key_switch))
+        if n == 2:
+            moments = scheme.keyswitch_sum_batch(moments, self.key_switch,
+                                                 rotations)
+        else:
+            moments = scheme.sum_batch_only(moments, rotations)
         moments = [mj + self._noise() for mj in moments]
         return moments, denom
 
@@ -122,15 +127,25 @@ class Statistics:
                     mu_mat.set(j, i, v)
 
         cov = self.data.transpose().mult_by_transpose()
+        # upper triangle, batched: (keyswitch + rotate-reduce), then
+        # (*n, keyswitch) as one fused batched mul+relin
+        import jax.numpy as jnp
+        from ..device import device_context
+        pairs = [(i, j) for i in range(d) for j in range(i, d)]
+        rotations = list(zip(self.auto_ks, self.auto_key_switch))
+        summed = scheme.keyswitch_sum_batch(
+            [cov.at(i, j) for i, j in pairs], ksw, rotations)
+        dev = device_context(self.ctx)
+        stack = jnp.stack([c.parts for c in summed])
+        nrep = jnp.broadcast_to(n_ct.parts[None], stack.shape)
+        prod = dev.batched_mul_relin_op(stack, nrep, ksw.matrix_evals)
         out = Matrix([[None] * d for _ in range(d)])
-        for i in range(d):
-            for j in range(i, d):
-                c = self._sum_batched(ksw.apply(cov.at(i, j)))
-                c = ksw.apply(c * n_ct)
-                c = c + mu_mat.at(i, j)
-                c = c + self._noise()
-                out.set(i, j, c)
-                out.set(j, i, c)
+        for idx, (i, j) in enumerate(pairs):
+            c = scheme.Ciphertext(self.ctx, parts=prod[idx])
+            c = c + mu_mat.at(i, j)
+            c = c + self._noise()
+            out.set(i, j, c)
+            out.set(j, i, c)
 
         n2 = ksw.apply(n_ct * n_ct)
         return out, mu, n_ct, n2

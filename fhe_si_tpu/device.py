@@ -429,6 +429,45 @@ class DeviceContext:
         ([B, ka, phim, n], [B, kb, phim, n], [2, K, L, phim]) -> [B, 2, phim, n]."""
         return jax.jit(jax.vmap(self._mul_relin_one, in_axes=(0, 0, None)))
 
+    def _keyswitch_parts_one(self, parts, matrix_evals):
+        """ApplyKeySwitch on non-tensored parts (ByteDecomp + dot)."""
+        digs = lb.byte_decomp(parts, self.log_q, self.digit_bits,
+                              self.ndigits, self.q_limbs)
+        digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
+        dig_ev = self.ntt_fwd(modular.barrett(digs[:, None, :], self.q,
+                                              self.qinv_f))
+        prod = modular.mod_mul(matrix_evals, dig_ev[None], self.q, self.qinv_f)
+        acc = prod[:, 0]
+        for k in range(1, prod.shape[1]):
+            acc = modular.mod_add(acc, prod[:, k], self.q)
+        return self.reduce_signed(self.to_poly(acc))
+
+    @cached_property
+    def batched_keyswitch_tensored_op(self):
+        """ScaleDown + ApplyKeySwitch over a batch of tensored ciphertexts:
+        ([B, k, L, phim], [2, K, L, phim]) -> [B, 2, phim, n]."""
+        def one(tprod, matrix):
+            x = self.to_poly(tprod)
+            y = lb.shift_left(x, 1)
+            y = lb.add(y, jnp.broadcast_to(self.q_limbs, y.shape))
+            y = lb.arith_shift_right(y, self.log_q + 1)
+            parts = self.reduce_signed(y)
+            return self._keyswitch_parts_one(parts, matrix)
+        return jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+    @cached_property
+    def batched_rotate_reduce_stage_op(self):
+        """One rotate-and-reduce stage (Regression.h:166-178) over a batch:
+        parts [B, 2, phim, n], automorph perm [phim], that rotation's
+        key-switch matrix -> parts + keyswitch(automorph(parts))."""
+        def one(parts, perm, matrix):
+            ev = self.from_poly(parts)
+            ev = jnp.take(ev, perm, axis=-1)
+            rotated = self.to_poly(ev)        # exact, unreduced (Ciphertext.cpp:54-59)
+            switched = self._keyswitch_parts_one(rotated, matrix)
+            return self.reduce_signed(lb.add(parts, switched))
+        return jax.jit(jax.vmap(one, in_axes=(0, None, None)))
+
 
 _DEVICE_CACHE: dict[int, DeviceContext] = {}
 

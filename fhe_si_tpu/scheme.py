@@ -9,6 +9,7 @@ pure-Python oracle.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -195,6 +196,47 @@ class KeySwitch:
                 f"{digit_evals.shape[0]}")
         parts = dev.keyswitch_apply_op(self.matrix_evals, digit_evals)
         return Ciphertext(self.ctx, parts=parts)
+
+
+def keyswitch_sum_batch(cts: list["Ciphertext"], ksw: KeySwitch,
+                        rotations: list[tuple[int, KeySwitch]]
+                        ) -> list["Ciphertext"]:
+    """Batched (keyswitch; rotate-and-reduce) over same-shape ciphertexts —
+    the MapAll(processFunc) hot loop of Regression.h:110-115 fused into
+    one device dispatch per stage.  Bit-identical to applying
+    ksw.apply + SumBatchedData per ciphertext."""
+    if not cts:
+        return []
+    ctx = cts[0].ctx
+    dev = device_context(ctx)
+    if cts[0].scaled_up:
+        stack = jnp.stack([ct.tprod for ct in cts])
+        parts = dev.batched_keyswitch_tensored_op(stack, ksw.matrix_evals)
+    else:
+        stack = jnp.stack([ct.parts for ct in cts])
+        parts = jax.vmap(dev._keyswitch_parts_one, in_axes=(0, None))(
+            stack, ksw.matrix_evals)
+    for k, aksw in rotations:
+        perm = jnp.asarray(ctx.automorph_perm(k), dtype=jnp.int32)
+        parts = dev.batched_rotate_reduce_stage_op(parts, perm,
+                                                   aksw.matrix_evals)
+    return [Ciphertext(ctx, parts=parts[i]) for i in range(len(cts))]
+
+
+def sum_batch_only(cts: list["Ciphertext"],
+                   rotations: list[tuple[int, KeySwitch]]) -> list["Ciphertext"]:
+    """Batched rotate-and-reduce without a leading key switch (the n==1
+    moment path, Statistics.h:73-76)."""
+    if not cts:
+        return []
+    ctx = cts[0].ctx
+    dev = device_context(ctx)
+    parts = jnp.stack([ct.parts for ct in cts])
+    for k, aksw in rotations:
+        perm = jnp.asarray(ctx.automorph_perm(k), dtype=jnp.int32)
+        parts = dev.batched_rotate_reduce_stage_op(parts, perm,
+                                                   aksw.matrix_evals)
+    return [Ciphertext(ctx, parts=parts[i]) for i in range(len(cts))]
 
 
 # ----------------------------------------------------------------- ciphertext
