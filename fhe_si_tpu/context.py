@@ -126,15 +126,22 @@ class FheContext:
                       + 2 * math.log(self.phim) + math.log(2) + math.log(max(xi, 1)))
             primes = numbth.generate_prime_chain(
                 m, budget, max_bits=PRIME_MAX_BITS, exclude=(p,))
-            if len(primes) % num_primes_multiple:
+            # +1 redundant modulus for single-pass CRT reconstruction
+            extra = 1
+            if (len(primes) + extra) % num_primes_multiple:
                 # pad so the CRT-limb axis shards evenly over a device mesh
-                primes = numbth.extend_prime_chain(
-                    primes, m,
-                    num_primes_multiple - len(primes) % num_primes_multiple,
-                    exclude=(p,))
+                extra += (num_primes_multiple
+                          - (len(primes) + extra) % num_primes_multiple)
+            primes = numbth.extend_prime_chain(primes, m, extra, exclude=(p,))
         self.primes = np.array(primes, dtype=np.int64)
         self.num_primes = len(primes)
         self.prime_product = math.prod(int(q) for q in primes)
+        # The LAST chain prime is a redundant modulus (Shenoy-Kumaresan):
+        # the value-carrying CRT basis is primes[:-1] (whose product meets
+        # the SetUpSIContext budget on its own); the extra tracked row lets
+        # to_poly reconstruct in one parallel pass with an exact small
+        # correction factor, instead of a serial O(L^2) Garner scan.
+        self.crt_product = math.prod(int(q) for q in primes[:-1])
         # order-m root of unity per prime (deterministic; Cmodulus analog,
         # CModulus.cpp:59-86 — we need order m, not 2m: the matmul-DFT uses
         # no negacyclic chirp).  Imported contexts restore their saved roots
@@ -352,6 +359,40 @@ class FheContext:
             W=W, Wh=Wh,
             P_limbs=int_to_limbs(P, n),
             halfP_digits=digits,
+        )
+
+    @cached_property
+    def fast_crt_tables(self) -> dict:
+        """Single-pass CRT reconstruction tables (Shenoy-Kumaresan).
+
+        Basis = primes[:-1] with product P; redundant row r tracks the
+        exact value E mod m_r.  Reconstruction:
+            c_l = res_l * (P/q_l)^{-1} mod q_l
+            S   = sum_l c_l * (P/q_l)          (limb domain, mod 2^16n)
+            w   = (S - E) / P  = ((S mod m_r) - E_r) * P^{-1} mod m_r
+            E   = S - w*P                      (exact, centered, signed)
+        w is exact because 0 <= w <= L < m_r (|E| < P/2 by the context
+        budget; S < L*P)."""
+        L = self.num_primes - 1
+        qs = [int(q) for q in self.primes[:L]]
+        mr = int(self.primes[L])
+        P = self.crt_product
+        n = self.n_limbs
+        binv = np.zeros(L, dtype=np.int64)
+        Bmodr = np.zeros(L, dtype=np.int64)
+        B = np.zeros((L, n), dtype=np.int32)
+        Bh = np.zeros((L, n), dtype=np.int32)
+        for l, q in enumerate(qs):
+            Bl = P // q
+            binv[l] = numbth.modinv(Bl % q, q)
+            Bmodr[l] = Bl % mr
+            B[l] = int_to_limbs(Bl, n)
+            Bh[l] = int_to_limbs(Bl << 10, n)
+        return dict(
+            binv=binv, Bmodr=Bmodr, B=B, Bh=Bh,
+            P_limbs=int_to_limbs(P, n),
+            P_limbs_sh10=int_to_limbs(P << 10, n),
+            mr=mr, Pinv_r=numbth.modinv(P % mr, mr),
         )
 
     @cached_property

@@ -54,6 +54,50 @@ def limbs_to_mod_small(poly, p_chunk_tbl, p_wrap, p, pinv_f):
     return barrett(raw, p, pinv_f)
 
 
+def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
+    """Single-pass CRT reconstruction via the redundant modulus
+    (context.fast_crt_tables): no serial Garner scan — O(L) parallel
+    elementwise work plus one small exact correction.  Returns the
+    centered signed value E as two's complement limbs.
+
+    res: [..., L+1, phim] with row L tracking E mod m_r.
+    """
+    L = res.shape[-2] - 1
+    qs = q[:L]
+    qinvs = qinv_f[:L]
+    mr = t['mr']            # int32 scalar
+    mrinv = t['mrinv_f']    # float32 scalar
+
+    c = mod_mul(res[..., :L, :], t['binv'][:, None], qs, qinvs)
+
+    # limb accumulation  S = sum_l c_l * B_l   (10-bit digit split)
+    cl = (c & 1023)[..., None]
+    ch = (c >> 10)[..., None]
+    p0 = cl * t['B'][:, None, :]                 # < 2^26
+    p1 = ch * t['Bh'][:, None, :]
+    acc = (jnp.sum(p0 & lb.LIMB_MASK, axis=-3)
+           + jnp.sum(p1 & lb.LIMB_MASK, axis=-3))
+    hi = jnp.sum(p0 >> lb.LIMB_BITS, axis=-3) + jnp.sum(p1 >> lb.LIMB_BITS,
+                                                        axis=-3)
+    acc = acc + jnp.pad(hi[..., :-1], [(0, 0)] * (hi.ndim - 1) + [(1, 0)])
+
+    # w = ((S mod m_r) - E_r) * P^{-1} mod m_r,  exact since 0 <= w <= L
+    term = mod_mul(c, t['Bmodr'][:, None], mr, mrinv)
+    sig = barrett(jnp.sum(term, axis=-2), mr, mrinv)   # sum < L*2^20 < 2^26
+    diff = mod_sub(sig, res[..., L, :], mr)
+    w = mod_mul(diff, t['Pinv_r'], mr, mrinv)
+
+    wl = (w & 1023)[..., None]
+    wh = (w >> 10)[..., None]
+    sub = (wl * t['P_limbs'] + wh * t['P_limbs_sh10'])
+    acc = acc - (sub & lb.LIMB_MASK)
+    shi = sub >> lb.LIMB_BITS
+    acc = acc - jnp.pad(shi[..., :-1], [(0, 0)] * (shi.ndim - 1) + [(1, 0)])
+    out = lb.normalize(acc)
+    assert out.shape[-1] == n_limbs
+    return out
+
+
 def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int):
     """[..., L, phim] residues -> [..., phim, n] limbs of the centered
     representative in (-P/2, P/2).

@@ -61,16 +61,19 @@ def sharded_mul_relin(dev, mesh: Mesh):
     Returns jitted fn(parts_a [B,ka,phim,n], parts_b, matrix [2,K,L,phim])
     -> summed parts [2, phim, n].
     """
-    def step(a, b, matrix):
-        out = jax.vmap(dev._mul_relin_one, in_axes=(0, 0, None))(a, b, matrix)
+    from ..ops import limbs as lb
+
+    def step(C, a, b, matrix):
+        out = jax.vmap(dev._mul_relin, in_axes=(None, 0, 0, None))(
+            C, a, b, matrix)
         # additive block reduce: sum of mod-q limb polys then signed reduce
-        from ..ops import limbs as lb
         acc = out[0]
         for i in range(1, out.shape[0]):
-            acc = dev.reduce_signed(lb.add(acc, out[i]))
+            acc = dev._reduce_signed(C, lb.add(acc, out[i]))
         return acc
 
-    in_shardings = (batch_sharding(mesh), batch_sharding(mesh),
+    in_shardings = (None, batch_sharding(mesh), batch_sharding(mesh),
                     limb_sharding(mesh, 2, 4))
-    return jax.jit(step, in_shardings=in_shardings,
-                   out_shardings=NamedSharding(mesh, P()))
+    jitted = jax.jit(step, in_shardings=in_shardings,
+                     out_shardings=NamedSharding(mesh, P()))
+    return lambda a, b, matrix: jitted(dev.C, a, b, matrix)

@@ -214,8 +214,7 @@ def keyswitch_sum_batch(cts: list["Ciphertext"], ksw: KeySwitch,
         parts = dev.batched_keyswitch_tensored_op(stack, ksw.matrix_evals)
     else:
         stack = jnp.stack([ct.parts for ct in cts])
-        parts = jax.vmap(dev._keyswitch_parts_one, in_axes=(0, None))(
-            stack, ksw.matrix_evals)
+        parts = dev.batched_keyswitch_parts_op(stack, ksw.matrix_evals)
     for k, aksw in rotations:
         perm = jnp.asarray(ctx.automorph_perm(k), dtype=jnp.int32)
         parts = dev.batched_rotate_reduce_stage_op(parts, perm,

@@ -121,6 +121,27 @@ def test_crt_roundtrip_and_residues(ctx, dev):
     assert np.array_equal(mp[0], np.array([v % ctx.p for v in vals]))
 
 
+def test_fast_crt_equals_garner(ctx, dev):
+    """Single-pass redundant-modulus reconstruction must equal the Garner
+    scan bit-for-bit on values within the CRT budget |E| < P/2."""
+    rng = np.random.default_rng(7)
+    P = ctx.crt_product
+    vals = []
+    for _ in range(ctx.phim):
+        v = int(rng.integers(0, 2 ** 63)) * int(rng.integers(0, 2 ** 63)) % P
+        vals.append(v - P if v > P // 2 else v)
+    vals[0], vals[1], vals[2] = 0, P // 2 - 1, -(P // 2 - 1)
+    res = np.array([[v % int(q) for v in vals] for q in ctx.primes])[None]
+    res = jnp.asarray(res, jnp.int32)
+    fast = crt.residues_to_limbs_fast(res, dev.fast_crt, dev.q, dev.qinv_f,
+                                      ctx.n_limbs)
+    garner = crt.residues_to_limbs(res, dev.garner, dev.q, dev.qinv_f,
+                                   ctx.n_limbs)
+    assert np.array_equal(np.asarray(fast), np.asarray(garner))
+    got = [limbs_to_int(np.asarray(fast)[0, j]) for j in range(ctx.phim)]
+    assert got == vals
+
+
 def test_ntt_roundtrip_and_dft_oracle(ctx, dev):
     """Matmul NTT against the slow direct DFT (the analog of the reference's
     debug tDFT oracle, bluestein.cpp:148-172)."""
