@@ -16,6 +16,16 @@ import time
 import numpy as np
 
 
+def _setup_cache():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/fhe_si_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def bench_device(batch=256, iters=10):
     import jax
     import jax.numpy as jnp
@@ -37,10 +47,11 @@ def bench_device(batch=256, iters=10):
     out = fn(a, b, ksw.matrix_evals)
     out.block_until_ready()  # compile
 
+    # block every call: async dispatch without per-call sync has been
+    # observed to wildly overstate throughput on the axon runtime
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(a, b, ksw.matrix_evals)
-    out.block_until_ready()
+        fn(a, b, ksw.matrix_evals).block_until_ready()
     dt = time.perf_counter() - t0
     rate = batch * iters / dt
 
@@ -52,8 +63,7 @@ def bench_device(batch=256, iters=10):
     ntt_fn(ntt_in).block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        o = ntt_fn(ntt_in)
-    o.block_until_ready()
+        ntt_fn(ntt_in).block_until_ready()
     ntt_rate = batch * 2 * ctx.num_primes * iters / (time.perf_counter() - t0)
 
     tens = dev.tensor_mul_op(c1.parts, c2.parts)
@@ -115,8 +125,7 @@ def bench_big(p=4007, log_q=170, batch=8, iters=3):
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = dev.batched_mul_relin_op(a, a, ksw.matrix_evals)
-    out.block_until_ready()
+        dev.batched_mul_relin_op(a, a, ksw.matrix_evals).block_until_ready()
     rate = batch * iters / (time.perf_counter() - t0)
     print(f"[bench] BIG config p={p} phim={ctx.phim} L={ctx.num_primes} "
           f"logQ={log_q}: {rate:.1f} mults/s (batch={batch})", file=sys.stderr)
@@ -124,6 +133,7 @@ def bench_big(p=4007, log_q=170, batch=8, iters=3):
 
 
 def main():
+    _setup_cache()
     dev_rate, ntt_rate, scale_ms = bench_device()
     cpu_rate = bench_oracle()
     if "--big" in sys.argv:
