@@ -8,11 +8,19 @@ evaluates/interpolates with one dense phim x phim matrix per prime
 batched integer matmul that runs on the MXU systolic array instead of a
 scalar butterfly pipeline on the VPU.
 
-Exactness: operands are split into 5-bit chunks (< 32, int8-safe), so
-each partial matmul accumulates products < 2^10 over at most phim <= 2^13
-terms — int32-exact and MXU-native (s8 x s8 -> s32).  The 4x4 chunk
-products are grouped by total shift s = i+j and recombined with a
-Barrett-Horner pass.
+Exactness: operands are split into 3 BALANCED 7-bit digits d_i in
+[-64, 64] (top digit in [0, 64]), so v = sum_i d_i * 2^(7i) covers the
+full 20-bit residue range with int8-safe digits.  Each of the 3x3 = 9
+partial matmuls accumulates products |d*e| <= 2^12 over at most
+phim <= 2^13 terms — |partial| < 2^25, int32-exact and MXU-native
+(s8 x s8 -> s32).  The partials are grouped by total shift s = i+j
+(5 groups, |sum| < 3*2^25 < 2^27) and recombined with a Barrett-Horner
+pass whose intermediates stay below 2^28 (< q*2^23 for q >= 2^14, so the
+f32 quotient estimate is off by < 1 and two conditional corrections fix
+the residue).
+
+A balanced 3-digit split does 9/16 the MXU work of the previous unsigned
+4x5-bit scheme and reads 3/4 the table bytes from HBM.
 """
 from __future__ import annotations
 
@@ -21,27 +29,51 @@ import numpy as np
 
 from .modular import barrett
 
-CHUNK_BITS = 5
-N_CHUNKS = 4  # covers 20-bit residues
+CHUNK_BITS = 7
+N_CHUNKS = 3  # covers 20-bit residues (7+7+6 bits + carries)
+_HALF = 1 << (CHUNK_BITS - 1)          # 64
+_MASK = (1 << CHUNK_BITS) - 1          # 127
 
 
 def chunk_matrix(mat: np.ndarray) -> np.ndarray:
-    """Host-side: [L, n, k] int matrix -> int8 chunks [N_CHUNKS, L, n, k]."""
-    return np.stack([(mat >> (CHUNK_BITS * i)) & ((1 << CHUNK_BITS) - 1)
-                     for i in range(N_CHUNKS)]).astype(np.int8)
+    """Host-side: [L, n, k] int matrix (entries in [0, 2^20)) -> balanced
+    int8 digits [N_CHUNKS, L, n, k] with mat == sum_i d_i << (7i)."""
+    v = mat.astype(np.int64)
+    digits = []
+    for _ in range(N_CHUNKS - 1):
+        d = ((v + _HALF) & _MASK) - _HALF
+        digits.append(d)
+        v = (v - d) >> CHUNK_BITS
+    digits.append(v)  # top digit in [0, 64]
+    assert np.all(np.abs(digits[-1]) <= _HALF), "matrix entry exceeds 20 bits"
+    return np.stack(digits).astype(np.int8)
+
+
+def chunk_x(x):
+    """Device-side balanced digit split of residues x in [0, 2^21).
+
+    Returns N_CHUNKS int8 arrays; each |d_i| <= 64.
+    """
+    out = []
+    v = x
+    for _ in range(N_CHUNKS - 1):
+        d = ((v + _HALF) & _MASK) - _HALF
+        out.append(d.astype(jnp.int8))
+        v = (v - d) >> CHUNK_BITS
+    out.append(v.astype(jnp.int8))
+    return out
 
 
 def modmatmul(mat_chunks, x, q, qinv_f):
     """Exact (mat @ x) mod q, batched over the prime axis.
 
-    mat_chunks: int8 [N_CHUNKS, L, n_out, n_in]  (host-precomputed chunks)
-    x:          int32 [..., L, n_in] residues < 2^20
+    mat_chunks: int8 [N_CHUNKS, L, n_out, n_in]  (host-precomputed digits)
+    x:          int32 [..., L, n_in] residues in [0, q), q < 2^20
     q, qinv_f:  [L, 1] broadcastables
     returns     int32 [..., L, n_out]
     """
-    xc = [((x >> (CHUNK_BITS * i)) & ((1 << CHUNK_BITS) - 1)).astype(jnp.int8)
-          for i in range(N_CHUNKS)]
-    # partial sums grouped by total shift s = i + j
+    xc = chunk_x(x)
+    # partial sums grouped by total shift s = i + j; |parts[s]| < 3*2^25
     parts = [None] * (2 * N_CHUNKS - 1)
     for i in range(N_CHUNKS):
         for j in range(N_CHUNKS):
@@ -49,7 +81,7 @@ def modmatmul(mat_chunks, x, q, qinv_f):
                             preferred_element_type=jnp.int32)
             s = i + j
             parts[s] = pr if parts[s] is None else parts[s] + pr
-    # Horner from the top shift down; r < q so (r << 5) + part < 2^26 + 2^26
+    # Horner from the top shift down; |(r << 7) + part| < 2^27 + 2^27 = 2^28
     r = barrett(parts[-1], q, qinv_f)
     for s in range(2 * N_CHUNKS - 3, -1, -1):
         r = barrett((r << CHUNK_BITS) + parts[s], q, qinv_f)

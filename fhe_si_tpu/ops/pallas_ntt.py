@@ -1,6 +1,6 @@
 """Fused exact modular NTT matmul as a Pallas TPU kernel.
 
-ntt.modmatmul builds 16 separate XLA dots whose partial products round-trip
+ntt.modmatmul builds N_CHUNKS^2 separate XLA dots whose partial products round-trip
 through HBM before the Barrett-Horner combine.  This kernel keeps the whole
 chunk x chunk accumulation and the modular recombine in VMEM: grid over
 (prime l, output tile o), MXU s8xs8->s32 dots per chunk pair, f32-Barrett
@@ -35,9 +35,18 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
     q = q_ref[0]
     qinv = qinv_ref[0]
     x = x_ref[:, 0, :]                                   # [B, Ni] int32
+    # balanced 7-bit digit split (see ntt.chunk_x): |d_i| <= 64
+    half, mask = 1 << (CHUNK_BITS - 1), (1 << CHUNK_BITS) - 1
+    xcs = []
+    v = x
+    for _ in range(N_CHUNKS - 1):
+        d = ((v + half) & mask) - half
+        xcs.append(d.astype(jnp.int8))
+        v = (v - d) >> CHUNK_BITS
+    xcs.append(v.astype(jnp.int8))
     parts = [None] * (2 * N_CHUNKS - 1)
     for i in range(N_CHUNKS):
-        xc = ((x >> (CHUNK_BITS * i)) & ((1 << CHUNK_BITS) - 1)).astype(jnp.int8)
+        xc = xcs[i]
         for j in range(N_CHUNKS):
             m = c_ref[j, 0]                              # [TO, Ni] int8
             pr = jax.lax.dot_general(
