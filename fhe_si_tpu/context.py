@@ -372,16 +372,24 @@ class FheContext:
             w   = (S - E) / P  = ((S mod m_r) - E_r) * P^{-1} mod m_r
             E   = S - w*P                      (exact, centered, signed)
         w is exact because 0 <= w <= L < m_r (|E| < P/2 by the context
-        budget; S < L*P)."""
-        L = self.num_primes - 1
+        budget; S < L*P).
+
+        Tables are padded to the FULL prime axis (num_primes rows) with
+        zeros at the redundant index plus a one-hot ``er_mask``, so
+        ops/crt.crt_partials is uniform per prime row and the axis shards
+        over a 'limb' mesh axis (parallel/shard.py)."""
+        L_all = self.num_primes
+        L = L_all - 1
         qs = [int(q) for q in self.primes[:L]]
         mr = int(self.primes[L])
         P = self.crt_product
         n = self.n_limbs
-        binv = np.zeros(L, dtype=np.int64)
-        Bmodr = np.zeros(L, dtype=np.int64)
-        B = np.zeros((L, n), dtype=np.int32)
-        Bh = np.zeros((L, n), dtype=np.int32)
+        binv = np.zeros(L_all, dtype=np.int64)
+        Bmodr = np.zeros(L_all, dtype=np.int64)
+        B = np.zeros((L_all, n), dtype=np.int32)
+        Bh = np.zeros((L_all, n), dtype=np.int32)
+        er_mask = np.zeros(L_all, dtype=np.int64)
+        er_mask[L] = 1
         for l, q in enumerate(qs):
             Bl = P // q
             binv[l] = numbth.modinv(Bl % q, q)
@@ -389,7 +397,7 @@ class FheContext:
             B[l] = int_to_limbs(Bl, n)
             Bh[l] = int_to_limbs(Bl << 10, n)
         return dict(
-            binv=binv, Bmodr=Bmodr, B=B, Bh=Bh,
+            binv=binv, Bmodr=Bmodr, B=B, Bh=Bh, er_mask=er_mask,
             P_limbs=int_to_limbs(P, n),
             P_limbs_sh10=int_to_limbs(P << 10, n),
             mr=mr, Pinv_r=numbth.modinv(P % mr, mr),

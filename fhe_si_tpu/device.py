@@ -66,6 +66,7 @@ class DeviceContext:
             fast_crt=dict(
                 binv=as32(ft['binv']), Bmodr=as32(ft['Bmodr']),
                 B=as32(ft['B']), Bh=as32(ft['Bh']),
+                er_mask=as32(ft['er_mask']),
                 P_limbs=as32(ft['P_limbs']),
                 P_limbs_sh10=as32(ft['P_limbs_sh10']),
                 mr=jnp.int32(ft['mr']),

@@ -54,21 +54,32 @@ def limbs_to_mod_small(poly, p_chunk_tbl, p_wrap, p, pinv_f):
     return barrett(raw, p, pinv_f)
 
 
-def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
-    """Single-pass CRT reconstruction via the redundant modulus
-    (context.fast_crt_tables): no serial Garner scan — O(L) parallel
-    elementwise work plus one small exact correction.  Returns the
-    centered signed value E as two's complement limbs.
+def crt_partials(res, t, q, qinv_f):
+    """Per-prime-local half of the single-pass CRT reconstruction.
 
-    res: [..., L+1, phim] with row L tracking E mod m_r.
+    res: [..., Lrows, phim] residue rows INCLUDING the redundant-modulus
+    row.  The tables (context.fast_crt_tables) are padded to the full
+    prime axis with zeros at the redundant index plus a one-hot
+    ``er_mask``, so this function is uniform in the prime axis: it is the
+    shardable half.  Under shard_map over a 'limb' mesh axis, call it on
+    the local rows and ``psum`` all three outputs before crt_finish; the
+    single-device path just feeds them straight through (the sums here
+    ARE the full reductions then).
+
+    Returns (acc, sig_raw, er):
+      acc     [..., phim, n]  limb accumulation of sum_l c_l * B_l;
+              entries < Lrows * (2^16 + 2^11) < 2^23 for Lrows <= 64 —
+              int32-safe to psum.
+      sig_raw [..., phim]     unreduced sum of c_l*B_l mod m_r terms,
+              < Lrows * 2^20 < 2^26: barrett'd in crt_finish.
+      er      [..., phim]     the redundant row E mod m_r (one-hot mask
+              dot, so the owning shard contributes it and psum delivers
+              it everywhere).
     """
-    L = res.shape[-2] - 1
-    qs = q[:L]
-    qinvs = qinv_f[:L]
     mr = t['mr']            # int32 scalar
     mrinv = t['mrinv_f']    # float32 scalar
 
-    c = mod_mul(res[..., :L, :], t['binv'][:, None], qs, qinvs)
+    c = mod_mul(res, t['binv'][:, None], q, qinv_f)   # 0 on the redundant row
 
     # limb accumulation  S = sum_l c_l * B_l   (10-bit digit split)
     cl = (c & 1023)[..., None]
@@ -81,10 +92,20 @@ def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
                                                         axis=-3)
     acc = acc + jnp.pad(hi[..., :-1], [(0, 0)] * (hi.ndim - 1) + [(1, 0)])
 
-    # w = ((S mod m_r) - E_r) * P^{-1} mod m_r,  exact since 0 <= w <= L
     term = mod_mul(c, t['Bmodr'][:, None], mr, mrinv)
-    sig = barrett(jnp.sum(term, axis=-2), mr, mrinv)   # sum < L*2^20 < 2^26
-    diff = mod_sub(sig, res[..., L, :], mr)
+    sig_raw = jnp.sum(term, axis=-2)             # < Lrows * 2^20 < 2^26
+    er = jnp.sum(t['er_mask'][:, None] * res, axis=-2)
+    return acc, sig_raw, er
+
+
+def crt_finish(acc, sig_raw, er, t, n_limbs: int):
+    """Replicated tail of the single-pass CRT reconstruction: compute the
+    exact wrap count w = ((S mod m_r) - E_r) * P^{-1} mod m_r (exact since
+    0 <= w <= L < m_r), subtract w*P in the limb domain, normalize."""
+    mr = t['mr']
+    mrinv = t['mrinv_f']
+    sig = barrett(sig_raw, mr, mrinv)
+    diff = mod_sub(sig, er, mr)
     w = mod_mul(diff, t['Pinv_r'], mr, mrinv)
 
     wl = (w & 1023)[..., None]
@@ -96,6 +117,18 @@ def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
     out = lb.normalize(acc)
     assert out.shape[-1] == n_limbs
     return out
+
+
+def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
+    """Single-pass CRT reconstruction via the redundant modulus
+    (context.fast_crt_tables): no serial Garner scan — O(L) parallel
+    elementwise work plus one small exact correction.  Returns the
+    centered signed value E as two's complement limbs.
+
+    res: [..., L, phim] with the LAST row tracking E mod m_r.
+    """
+    acc, sig_raw, er = crt_partials(res, t, q, qinv_f)
+    return crt_finish(acc, sig_raw, er, t, n_limbs)
 
 
 def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int):

@@ -1,0 +1,172 @@
+"""Explicit shard_map SPMD pipelines over a ('dp', 'limb') mesh.
+
+parallel/mesh.py shards the same pipelines with GSPMD (jit + NamedSharding
+annotations, compiler-placed collectives).  This module is the explicit
+counterpart: the full mul+relin pipeline runs inside jax.shard_map with
+the CRT prime axis of every table and the keyswitch matrix sharded over
+'limb' and the ciphertext batch over 'dp', so collective placement is
+pinned by hand instead of inferred.
+
+Communication structure (the CRT-limb parallelism SURVEY §2 calls the
+analog of tensor parallelism):
+  - elementwise ciphertext algebra and the per-prime NTT matmuls are
+    shard-local (zero communication);
+  - the ONLY collectives are `psum` over 'limb' of the three CRT
+    reconstruction partials (ops/crt.crt_partials) at each to_poly site —
+    scale_down and the keyswitch output — riding ICI;
+  - limb-domain coefficient arithmetic after each psum is replicated
+    across 'limb' shards (cheap VPU work, avoids a second collective);
+  - nothing crosses 'dp' until the optional additive block-reduce
+    (Regression.h:102-149 semantics), a single psum of raw limb sums.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import crt, limbs as lb, modular, ntt
+
+
+def _prune_tables(C):
+    """Drop the Garner tables: invq is [L, L] (not limb-shardable) and the
+    sharded pipeline reconstructs via the single-pass path only."""
+    return {k: v for k, v in C.items() if k != 'garner'}
+
+
+def table_specs(limb: str = 'limb'):
+    """PartitionSpec pytree matching DeviceContext.C minus 'garner'.
+
+    Every table with a prime-chain axis is sharded on it; per-limb and
+    scalar constants are replicated.
+    """
+    L = P(limb)
+    L_ = P(limb, None)
+    return dict(
+        q=L_, qinv_f=L_, p_mod_q=L_,
+        fwd_chunks=P(None, limb, None, None),
+        inv_chunks=P(None, limb, None, None),
+        fast_crt=dict(
+            binv=L, Bmodr=L, B=L_, Bh=L_, er_mask=L,
+            P_limbs=P(None), P_limbs_sh10=P(None),
+            mr=P(), mrinv_f=P(), Pinv_r=P()),
+        chunk_tbl=P(None, limb),
+        wrap=L_,
+        p_chunk_tbl=P(None),
+        q_limbs=P(None),
+        q_over_p=P(None),
+        q_over_p_sh10=P(None),
+    )
+
+
+class ShardedPipelines:
+    """shard_map versions of the DeviceContext pipelines for one mesh.
+
+    Requires ctx.num_primes to divide evenly by the 'limb' mesh size
+    (FheContext(num_primes_multiple=...) pads the chain).
+    """
+
+    def __init__(self, dev, mesh: Mesh, dp: str = 'dp', limb: str = 'limb'):
+        if dev.L % mesh.shape[limb]:
+            raise ValueError(
+                f"num_primes={dev.L} does not shard over {limb}="
+                f"{mesh.shape[limb]}; build the context with "
+                f"num_primes_multiple={mesh.shape[limb]}")
+        self.dev = dev
+        self.mesh = mesh
+        self.dp = dp
+        self.limb = limb
+        self.C = _prune_tables(dev.C)
+        self.Cspec = table_specs(limb)
+
+    # ---------------------------------------------------- shard-local pieces
+    def _to_poly_psum(self, Cl, evals):
+        """Local iNTT + CRT partials, one psum over 'limb', replicated tail."""
+        res = ntt.modmatmul(Cl['inv_chunks'], evals, Cl['q'], Cl['qinv_f'])
+        acc, sig, er = crt.crt_partials(res, Cl['fast_crt'], Cl['q'],
+                                        Cl['qinv_f'])
+        acc, sig, er = jax.lax.psum((acc, sig, er), self.limb)
+        return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
+
+    def _from_poly(self, Cl, poly_limbs):
+        res = crt.limbs_to_residues(poly_limbs, Cl['chunk_tbl'], Cl['wrap'],
+                                    Cl['q'], Cl['qinv_f'])
+        return ntt.modmatmul(Cl['fwd_chunks'], res, Cl['q'], Cl['qinv_f'])
+
+    def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
+        dev = self.dev
+        a_ev = modular.mod_mul(self._from_poly(Cl, a_parts), Cl['p_mod_q'],
+                               Cl['q'], Cl['qinv_f'])
+        b_ev = self._from_poly(Cl, b_parts)
+        na, nb = a_ev.shape[0], b_ev.shape[0]
+        tprod = [None] * (na + nb - 1)
+        for i in range(na):
+            for j in range(nb):
+                pr = modular.mod_mul(a_ev[i], b_ev[j], Cl['q'], Cl['qinv_f'])
+                k = i + j
+                tprod[k] = pr if tprod[k] is None else modular.mod_add(
+                    tprod[k], pr, Cl['q'])
+        tprod = jnp.stack(tprod)
+
+        # ScaleDown (Ciphertext.cpp:194-218): replicated limb tail
+        x = self._to_poly_psum(Cl, tprod)
+        y = lb.shift_left(x, 1)
+        y = lb.add(y, jnp.broadcast_to(Cl['q_limbs'], y.shape))
+        y = lb.arith_shift_right(y, dev.log_q + 1)
+        parts = lb.reduce_mod_q(y, dev.log_q, False, Cl['q_limbs'])
+
+        # ByteDecomp + digit NTTs (FHE-SI.cpp:241-260): digits replicated,
+        # residues/NTT local per prime shard
+        digs = lb.byte_decomp(parts, dev.log_q, dev.digit_bits, dev.ndigits,
+                              Cl['q_limbs'])
+        digs = jnp.moveaxis(digs, -1, 1).reshape(-1, dev.phim)
+        dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
+        d_ev = ntt.modmatmul(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
+
+        prod = modular.mod_mul(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'])
+        acc = prod[:, 0]
+        for k in range(1, prod.shape[1]):
+            acc = modular.mod_add(acc, prod[:, k], Cl['q'])
+        out = self._to_poly_psum(Cl, acc)
+        return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'])
+
+    # ------------------------------------------------------------ public ops
+    def batched_mul_relin(self):
+        """fn(a [B,ka,phim,n], b [B,kb,phim,n], matrix [2,K,L,phim]) ->
+        [B, 2, phim, n], batch sharded over 'dp', matrix over 'limb'."""
+        dp, limb = self.dp, self.limb
+
+        def step(Cl, a, b, matrix_local):
+            return jax.vmap(self._mul_relin_local,
+                            in_axes=(None, 0, 0, None))(Cl, a, b, matrix_local)
+
+        sm = jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(self.Cspec, P(dp), P(dp), P(None, None, limb, None)),
+            out_specs=P(dp),
+            check_vma=False)
+        jitted = jax.jit(sm)
+        return lambda a, b, matrix: jitted(self.C, a, b, matrix)
+
+    def mul_relin_block_reduce(self):
+        """Same, plus the additive block-merge of Regression.h:102-149:
+        sum over the whole batch, one psum over 'dp' of raw limb sums.
+        Returns fn(...) -> [2, phim, n] replicated."""
+        dp, limb = self.dp, self.limb
+
+        def step(Cl, a, b, matrix_local):
+            out = jax.vmap(self._mul_relin_local,
+                           in_axes=(None, 0, 0, None))(Cl, a, b, matrix_local)
+            # raw limb sums stay int32-exact: limbs < 2^16, batch < 2^15
+            local = jnp.sum(out, axis=0)
+            total = jax.lax.psum(local, dp)
+            return lb.reduce_mod_q(lb.normalize(total), self.dev.log_q,
+                                   False, Cl['q_limbs'])
+
+        sm = jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(self.Cspec, P(dp), P(dp), P(None, None, limb, None)),
+            out_specs=P(),
+            check_vma=False)
+        jitted = jax.jit(sm)
+        return lambda a, b, matrix: jitted(self.C, a, b, matrix)

@@ -58,6 +58,35 @@ def test_sharded_equals_single(setup):
     assert np.array_equal(np.asarray(got), want)
 
 
+def test_shard_map_pipeline_bit_exact(setup):
+    """The explicit shard_map pipeline (psum'd CRT partials) must be
+    bit-identical to the single-device batched op."""
+    from fhe_si_tpu.parallel.shard import ShardedPipelines
+
+    ctx, dev, sk, ksw, cts = setup
+    a = jnp.stack([c.parts for c in cts[:4]])
+    b = jnp.stack([c.parts for c in cts[4:]])
+    want = np.asarray(dev.batched_mul_relin_op(a, b, ksw.matrix_evals))
+
+    m = pmesh.make_mesh(n_dp=4, n_limb=2)
+    sp = ShardedPipelines(dev, m)
+    fn = sp.batched_mul_relin()
+    a_sh = pmesh.shard_batched_parts(m, a)
+    b_sh = pmesh.shard_batched_parts(m, b)
+    mat_sh = jax.device_put(ksw.matrix_evals, pmesh.limb_sharding(m, 2, 4))
+    got = np.asarray(fn(a_sh, b_sh, mat_sh))
+    assert np.array_equal(got, want)
+
+    # block-reduce variant == chained single-device adds
+    acc = want[0]
+    for i in range(1, 4):
+        acc = np.asarray(dev.reduce_signed(lb.add(jnp.asarray(acc),
+                                                  jnp.asarray(want[i]))))
+    red = sp.mul_relin_block_reduce()
+    got_red = np.asarray(red(a_sh, b_sh, mat_sh))
+    assert np.array_equal(got_red, acc)
+
+
 def test_limb_sharded_elementwise(setup):
     """Residue tensors shard over the prime axis with zero collectives for
     elementwise ops."""
