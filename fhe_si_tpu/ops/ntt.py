@@ -20,7 +20,21 @@ f32 quotient estimate is off by < 1 and two conditional corrections fix
 the residue).
 
 A balanced 3-digit split does 9/16 the MXU work of the previous unsigned
-4x5-bit scheme and reads 3/4 the table bytes from HBM.
+4x5-bit scheme and reads 3/4 the table bytes from HBM.  On top of that,
+the 3x3 digit product is computed Karatsuba-style with SIX matmuls
+instead of nine: the host table carries the three digit planes plus the
+three pairwise digit sums (e_i + e_j in [-128, 126], still int8), and
+
+    c0 = p00                      with  p_ii = e_i  @ d_i
+    c1 = p01 - p00 - p11                p_ij = (e_i+e_j) @ (d_i+d_j)
+    c2 = p02 - p00 - p22 + p11
+    c3 = p12 - p11 - p22
+    c4 = p22
+
+Device digit sums |d_i + d_j| <= 128 fit int8 (min is exactly -128);
+cross products |p_ij| <= 2^14 * phim <= 2^27 and the combined shift
+groups |c_s| < 2^28 keep the Barrett-Horner pass int32-exact
+(|t| < 2^29 < q*2^23 for q >= 2^14, so the f32 quotient is off by < 1).
 """
 from __future__ import annotations
 
@@ -31,13 +45,12 @@ from .modular import barrett
 
 CHUNK_BITS = 7
 N_CHUNKS = 3  # covers 20-bit residues (7+7+6 bits + carries)
+N_PLANES = 6  # d0, d1, d2, d0+d1, d1+d2, d0+d2
 _HALF = 1 << (CHUNK_BITS - 1)          # 64
 _MASK = (1 << CHUNK_BITS) - 1          # 127
 
 
-def chunk_matrix(mat: np.ndarray) -> np.ndarray:
-    """Host-side: [L, n, k] int matrix (entries in [0, 2^20)) -> balanced
-    int8 digits [N_CHUNKS, L, n, k] with mat == sum_i d_i << (7i)."""
+def _balanced_digits_np(mat: np.ndarray) -> list[np.ndarray]:
     v = mat.astype(np.int64)
     digits = []
     for _ in range(N_CHUNKS - 1):
@@ -46,7 +59,16 @@ def chunk_matrix(mat: np.ndarray) -> np.ndarray:
         v = (v - d) >> CHUNK_BITS
     digits.append(v)  # top digit in [0, 64]
     assert np.all(np.abs(digits[-1]) <= _HALF), "matrix entry exceeds 20 bits"
-    return np.stack(digits).astype(np.int8)
+    return digits
+
+
+def chunk_matrix(mat: np.ndarray) -> np.ndarray:
+    """Host-side: [L, n, k] int matrix (entries in [0, 2^20)) -> balanced
+    int8 digit planes [N_PLANES, L, n, k]: the 3 digits with
+    mat == sum_i d_i << (7i), then the 3 pairwise sums for Karatsuba."""
+    e = _balanced_digits_np(mat)
+    planes = e + [e[0] + e[1], e[1] + e[2], e[0] + e[2]]
+    return np.stack(planes).astype(np.int8)
 
 
 def chunk_x(x):
@@ -67,22 +89,30 @@ def chunk_x(x):
 def modmatmul(mat_chunks, x, q, qinv_f):
     """Exact (mat @ x) mod q, batched over the prime axis.
 
-    mat_chunks: int8 [N_CHUNKS, L, n_out, n_in]  (host-precomputed digits)
+    mat_chunks: int8 [N_PLANES, L, n_out, n_in]  (host digit+sum planes)
     x:          int32 [..., L, n_in] residues in [0, q), q < 2^20
     q, qinv_f:  [L, 1] broadcastables
     returns     int32 [..., L, n_out]
     """
-    xc = chunk_x(x)
-    # partial sums grouped by total shift s = i + j; |parts[s]| < 3*2^25
-    parts = [None] * (2 * N_CHUNKS - 1)
-    for i in range(N_CHUNKS):
-        for j in range(N_CHUNKS):
-            pr = jnp.einsum('lok,...lk->...lo', mat_chunks[j], xc[i],
-                            preferred_element_type=jnp.int32)
-            s = i + j
-            parts[s] = pr if parts[s] is None else parts[s] + pr
-    # Horner from the top shift down; |(r << 7) + part| < 2^27 + 2^27 = 2^28
-    r = barrett(parts[-1], q, qinv_f)
-    for s in range(2 * N_CHUNKS - 3, -1, -1):
-        r = barrett((r << CHUNK_BITS) + parts[s], q, qinv_f)
+    d = chunk_x(x)
+    # device-side pairwise sums; |d_i + d_j| <= 128 fits int8 exactly
+    d01 = (d[0].astype(jnp.int32) + d[1]).astype(jnp.int8)
+    d12 = (d[1].astype(jnp.int32) + d[2]).astype(jnp.int8)
+    d02 = (d[0].astype(jnp.int32) + d[2]).astype(jnp.int8)
+
+    def mm(plane, vec):
+        return jnp.einsum('lok,...lk->...lo', mat_chunks[plane], vec,
+                          preferred_element_type=jnp.int32)
+
+    p00, p11, p22 = mm(0, d[0]), mm(1, d[1]), mm(2, d[2])
+    p01, p12, p02 = mm(3, d01), mm(4, d12), mm(5, d02)
+    c0 = p00
+    c1 = p01 - p00 - p11
+    c2 = p02 - p00 - p22 + p11
+    c3 = p12 - p11 - p22
+    c4 = p22
+    # Horner from the top shift down; |(r << 7) + c_s| < 2^27 + 2^28 < 2^29
+    r = barrett(c4, q, qinv_f)
+    for c in (c3, c2, c1, c0):
+        r = barrett((r << CHUNK_BITS) + c, q, qinv_f)
     return r

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .ntt import CHUNK_BITS, N_CHUNKS
+from .ntt import CHUNK_BITS, N_CHUNKS, N_PLANES
 
 TILE_O = 256
 
@@ -32,9 +32,10 @@ def _barrett(t, q, qinv):
 
 
 def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
-    q = q_ref[0]
-    qinv = qinv_ref[0]
-    x = x_ref[:, 0, :]                                   # [B, Ni] int32
+    l = pl.program_id(0)
+    q = q_ref[l, 0]
+    qinv = qinv_ref[l, 0]
+    x = x_ref[0]                                         # [B, Ni] int32
     # balanced 7-bit digit split (see ntt.chunk_x): |d_i| <= 64
     half, mask = 1 << (CHUNK_BITS - 1), (1 << CHUNK_BITS) - 1
     xcs = []
@@ -44,33 +45,36 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
         xcs.append(d.astype(jnp.int8))
         v = (v - d) >> CHUNK_BITS
     xcs.append(v.astype(jnp.int8))
-    parts = [None] * (2 * N_CHUNKS - 1)
-    for i in range(N_CHUNKS):
-        xc = xcs[i]
-        for j in range(N_CHUNKS):
-            m = c_ref[j, 0]                              # [TO, Ni] int8
-            pr = jax.lax.dot_general(
-                xc, m, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)        # [B, TO]
-            s = i + j
-            parts[s] = pr if parts[s] is None else parts[s] + pr
-    r = _barrett(parts[-1], q, qinv)
+    d01 = (xcs[0].astype(jnp.int32) + xcs[1]).astype(jnp.int8)
+    d12 = (xcs[1].astype(jnp.int32) + xcs[2]).astype(jnp.int8)
+    d02 = (xcs[0].astype(jnp.int32) + xcs[2]).astype(jnp.int8)
+
+    def mm(plane, vec):
+        return jax.lax.dot_general(
+            vec, c_ref[plane, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)            # [B, TO]
+
+    p00, p11, p22 = mm(0, xcs[0]), mm(1, xcs[1]), mm(2, xcs[2])
+    p01, p12, p02 = mm(3, d01), mm(4, d12), mm(5, d02)
+    cs = (p00, p01 - p00 - p11, p02 - p00 - p22 + p11,
+          p12 - p11 - p22, p22)
+    r = _barrett(cs[-1], q, qinv)
     for s in range(2 * N_CHUNKS - 3, -1, -1):
-        r = _barrett((r << CHUNK_BITS) + parts[s], q, qinv)
-    o_ref[:, 0, :] = r
+        r = _barrett((r << CHUNK_BITS) + cs[s], q, qinv)
+    o_ref[0] = r
 
 
 @functools.partial(jax.jit, static_argnames=("tile_o",))
 def modmatmul_pallas(mat_chunks, x, q, qinv_f, tile_o: int = TILE_O):
     """Drop-in for ntt.modmatmul on large shapes.
 
-    mat_chunks: int8 [4, L, No, Ni]; x: int32 [..., L, Ni];
+    mat_chunks: int8 [N_PLANES, L, No, Ni]; x: int32 [..., L, Ni];
     q/qinv_f: [L, 1].  Returns int32 [..., L, No].
     """
     *lead, L, Ni = x.shape
     No = mat_chunks.shape[2]
-    xb = x.reshape(-1, L, Ni)
-    B = xb.shape[0]
+    xb = jnp.moveaxis(x.reshape(-1, L, Ni), 1, 0)  # [L, B, Ni]
+    B = xb.shape[1]
     pad_o = (-No) % tile_o
     mc = mat_chunks
     if pad_o:
@@ -82,17 +86,17 @@ def modmatmul_pallas(mat_chunks, x, q, qinv_f, tile_o: int = TILE_O):
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1,), lambda l, o: (l,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda l, o: (l,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_CHUNKS, 1, tile_o, Ni), lambda l, o: (0, l, o, 0),
+            pl.BlockSpec((L, 1), lambda l, o: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 1), lambda l, o: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_PLANES, 1, tile_o, Ni), lambda l, o: (0, l, o, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1, Ni), lambda l, o: (0, l, 0),
+            pl.BlockSpec((1, B, Ni), lambda l, o: (l, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, 1, tile_o), lambda l, o: (0, l, o),
+        out_specs=pl.BlockSpec((1, B, tile_o), lambda l, o: (l, 0, o),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, L, no_pad), jnp.int32),
-    )(q[:, 0], qinv_f[:, 0], mc, xb)
+        out_shape=jax.ShapeDtypeStruct((L, B, no_pad), jnp.int32),
+    )(q[:, :1], qinv_f[:, :1], mc, xb)
     if pad_o:
         out = out[..., :No]
-    return out.reshape(*lead, L, No)
+    return jnp.moveaxis(out, 0, 1).reshape(*lead, L, No)
