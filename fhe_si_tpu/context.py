@@ -361,28 +361,27 @@ class FheContext:
             halfP_digits=digits,
         )
 
-    @cached_property
-    def fast_crt_tables(self) -> dict:
-        """Single-pass CRT reconstruction tables (Shenoy-Kumaresan).
+    def _fast_crt_for(self, num_value_primes: int) -> dict:
+        """Single-pass CRT reconstruction tables (Shenoy-Kumaresan) over
+        the basis primes[:num_value_primes] plus the shared redundant
+        modulus (the LAST chain prime).
 
-        Basis = primes[:-1] with product P; redundant row r tracks the
-        exact value E mod m_r.  Reconstruction:
+        Reconstruction for basis product P:
             c_l = res_l * (P/q_l)^{-1} mod q_l
             S   = sum_l c_l * (P/q_l)          (limb domain, mod 2^16n)
             w   = (S - E) / P  = ((S mod m_r) - E_r) * P^{-1} mod m_r
             E   = S - w*P                      (exact, centered, signed)
-        w is exact because 0 <= w <= L < m_r (|E| < P/2 by the context
-        budget; S < L*P).
+        w is exact because 0 <= w <= L < m_r (requires |E| < P/2; S < L*P).
 
-        Tables are padded to the FULL prime axis (num_primes rows) with
-        zeros at the redundant index plus a one-hot ``er_mask``, so
+        Rows = value primes then the redundant row LAST, padded with zeros
+        at the redundant index plus a one-hot ``er_mask``, so
         ops/crt.crt_partials is uniform per prime row and the axis shards
         over a 'limb' mesh axis (parallel/shard.py)."""
-        L_all = self.num_primes
-        L = L_all - 1
+        L = num_value_primes
+        L_all = L + 1
         qs = [int(q) for q in self.primes[:L]]
-        mr = int(self.primes[L])
-        P = self.crt_product
+        mr = int(self.primes[self.num_primes - 1])
+        P = math.prod(qs)
         n = self.n_limbs
         binv = np.zeros(L_all, dtype=np.int64)
         Bmodr = np.zeros(L_all, dtype=np.int64)
@@ -402,6 +401,54 @@ class FheContext:
             P_limbs_sh10=int_to_limbs(P << 10, n),
             mr=mr, Pinv_r=numbth.modinv(P % mr, mr),
         )
+
+    @cached_property
+    def fast_crt_tables(self) -> dict:
+        """Full-basis single-pass CRT tables (value primes = all but the
+        redundant last chain prime)."""
+        return self._fast_crt_for(self.num_primes - 1)
+
+    # ------------------------------------------------- keyswitch prime subset
+    @cached_property
+    def ksw_value_primes(self) -> int:
+        """Number of leading chain primes needed for the keyswitch digit
+        dot product to reconstruct exactly — usually far fewer than the
+        tensor-product chain.
+
+        ApplyKeySwitch (FHE-SI.cpp:241-260) computes V = sum_k d_k * M_k
+        mod Phi_m over Z with digits d_k in [0, 2^digit_bits) and matrix
+        entries |M_k| <= q/2.  Exact integer bound (convolution length
+        phim, reduction-growth allowance 8*phim*xi — the same allowance
+        structure SetUpSIContext budgets for the tensor product,
+        FHEContext.cpp:83-85, with an extra factor 4 of headroom):
+
+            |V| <= K_cap * (2^digit_bits - 1) * (q/2) * phim * 8*phim*xi
+
+        with K_cap = 16*ndigits covering any realistic part count.  The
+        subset basis must satisfy prod > 2*|V|max (centered values)."""
+        K_cap = 16 * self.ndigits
+        bound = (K_cap * ((1 << self.digit_bits) - 1) * (self.q // 2)
+                 * self.phim * 8 * self.phim * max(self.xi, 1))
+        need = 2 * bound
+        prod, k = 1, 0
+        for q in self.primes[:self.num_primes - 1]:
+            if prod > need:
+                break
+            prod *= int(q)
+            k += 1
+        return k
+
+    @cached_property
+    def ksw_rows(self) -> np.ndarray:
+        """Chain-row indices of the keyswitch subset basis: the leading
+        value primes plus the shared redundant modulus (last row)."""
+        return np.concatenate([np.arange(self.ksw_value_primes),
+                               [self.num_primes - 1]]).astype(np.int64)
+
+    @cached_property
+    def ksw_fast_crt_tables(self) -> dict:
+        """Subset-basis CRT tables for the keyswitch dot reconstruction."""
+        return self._fast_crt_for(self.ksw_value_primes)
 
     @cached_property
     def residue_tables(self) -> dict:

@@ -53,6 +53,37 @@ class DeviceContext:
         ft = ctx.fast_crt_tables
         rt = ctx.residue_tables
         as32 = lambda a: jnp.asarray(a, dtype=jnp.int32)  # noqa: E731
+
+        def fast_crt_dev(t):
+            return dict(
+                binv=as32(t['binv']), Bmodr=as32(t['Bmodr']),
+                B=as32(t['B']), Bh=as32(t['Bh']),
+                er_mask=as32(t['er_mask']),
+                P_limbs=as32(t['P_limbs']),
+                P_limbs_sh10=as32(t['P_limbs_sh10']),
+                mr=jnp.int32(t['mr']),
+                mrinv_f=jnp.float32(1.0 / t['mr']),
+                Pinv_r=jnp.int32(t['Pinv_r']))
+
+        # Keyswitch subset basis (context.ksw_value_primes): the digit
+        # NTTs and the keyswitch-output reconstruction run over only the
+        # rows whose product covers the dot-product bound.  Exactness is
+        # basis-independent, so results stay bit-identical to the full
+        # chain (tests/test_scheme_parity.py, test_device.py subset test).
+        krows = ctx.ksw_rows
+        self.ksw_subset = len(krows) < ctx.num_primes
+        ksw_tables = None
+        if self.ksw_subset:
+            fwd_k = ntt.chunk_matrix(fwd[krows])
+            inv_k = ntt.chunk_matrix(inv[krows])
+            ksw_tables = dict(
+                rows=jnp.asarray(krows, dtype=jnp.int32),
+                q=as32(ctx.primes[krows][:, None]),
+                qinv_f=jnp.asarray(
+                    (1.0 / ctx.primes[krows][:, None]).astype(np.float32)),
+                fwd_chunks=jnp.asarray(fwd_k),
+                inv_chunks=jnp.asarray(inv_k),
+                fast_crt=fast_crt_dev(ctx.ksw_fast_crt_tables))
         self.C = dict(
             q=as32(ctx.primes[:, None]),
             qinv_f=jnp.asarray((1.0 / ctx.primes[:, None]).astype(np.float32)),
@@ -63,15 +94,8 @@ class DeviceContext:
                 invq=as32(gt['invq']), W=as32(gt['W']), Wh=as32(gt['Wh']),
                 P_limbs=as32(gt['P_limbs']),
                 halfP_digits=as32(gt['halfP_digits'])),
-            fast_crt=dict(
-                binv=as32(ft['binv']), Bmodr=as32(ft['Bmodr']),
-                B=as32(ft['B']), Bh=as32(ft['Bh']),
-                er_mask=as32(ft['er_mask']),
-                P_limbs=as32(ft['P_limbs']),
-                P_limbs_sh10=as32(ft['P_limbs_sh10']),
-                mr=jnp.int32(ft['mr']),
-                mrinv_f=jnp.float32(1.0 / ft['mr']),
-                Pinv_r=jnp.int32(ft['Pinv_r'])),
+            fast_crt=fast_crt_dev(ft),
+            ksw=ksw_tables,
             chunk_tbl=as32(rt['chunk_tbl']),
             wrap=as32(rt['wrap'][:, None]),
             p_chunk_tbl=as32(rt['p_chunk_tbl']),
@@ -135,12 +159,23 @@ class DeviceContext:
         return (os.environ.get("FHE_SI_TPU_PALLAS_NTT") == "1"
                 and self.phim >= 256)
 
-    def _ntt(self, C, chunks_key, x):
+    def _ntt_raw(self, chunks, x, q, qinv_f):
         if self.use_pallas_ntt:
             from .ops import pallas_ntt
-            return pallas_ntt.modmatmul_pallas(C[chunks_key], x,
-                                               C['q'], C['qinv_f'])
-        return ntt.modmatmul(C[chunks_key], x, C['q'], C['qinv_f'])
+            return pallas_ntt.modmatmul_pallas(chunks, x, q, qinv_f)
+        return ntt.modmatmul(chunks, x, q, qinv_f)
+
+    def _ntt(self, C, chunks_key, x):
+        return self._ntt_raw(C[chunks_key], x, C['q'], C['qinv_f'])
+
+    def _ksw_tables(self, C):
+        """The keyswitch-path tables: the subset basis when it saves rows,
+        otherwise aliases of the full-chain tables ('rows' None)."""
+        if C['ksw'] is not None:
+            return C['ksw']
+        return dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
+                    fwd_chunks=C['fwd_chunks'], inv_chunks=C['inv_chunks'],
+                    fast_crt=C['fast_crt'])
 
     def _from_poly(self, C, poly_limbs):
         res = crt.limbs_to_residues(poly_limbs, C['chunk_tbl'], C['wrap'],
@@ -266,23 +301,34 @@ class DeviceContext:
         return self._wrap(self._scale_down)
 
     def _digit_evals(self, C, parts_limbs):
+        """Digit residues + NTTs over the keyswitch subset basis (the
+        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes)."""
+        K = self._ksw_tables(C)
         digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
                               self.ndigits, C['q_limbs'])
         digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
-        res = modular.barrett(digs[:, None, :], C['q'], C['qinv_f'])
-        return self._ntt(C, 'fwd_chunks', res)
+        res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
+        return self._ntt_raw(K['fwd_chunks'], res, K['q'], K['qinv_f'])
 
     @cached_property
     def byte_decomp_op(self):
         return self._wrap(self._digit_evals)
 
     def _keyswitch_digits(self, C, matrix_evals, digit_evals):
-        prod = modular.mod_mul(matrix_evals, digit_evals[None],
-                               C['q'], C['qinv_f'])
+        """Keyswitch dot + reconstruction over the subset basis.  The
+        matrix is stored on the full chain (serialization parity); its
+        subset rows are gathered here (cheap relative to the NTTs)."""
+        K = self._ksw_tables(C)
+        mat = (matrix_evals if K['rows'] is None
+               else jnp.take(matrix_evals, K['rows'], axis=2))
+        prod = modular.mod_mul(mat, digit_evals[None], K['q'], K['qinv_f'])
         acc = prod[:, 0]
         for k in range(1, prod.shape[1]):
-            acc = modular.mod_add(acc, prod[:, k], C['q'])
-        return self._reduce_signed(C, self._to_poly(C, acc))
+            acc = modular.mod_add(acc, prod[:, k], K['q'])
+        res = self._ntt_raw(K['inv_chunks'], acc, K['q'], K['qinv_f'])
+        limbs = crt.residues_to_limbs_fast(res, K['fast_crt'], K['q'],
+                                           K['qinv_f'], self.n)
+        return self._reduce_signed(C, limbs)
 
     @cached_property
     def keyswitch_apply_op(self):

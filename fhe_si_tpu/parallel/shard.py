@@ -29,9 +29,11 @@ from ..ops import crt, limbs as lb, modular, ntt
 
 
 def _prune_tables(C):
-    """Drop the Garner tables: invq is [L, L] (not limb-shardable) and the
-    sharded pipeline reconstructs via the single-pass path only."""
-    return {k: v for k, v in C.items() if k != 'garner'}
+    """Drop the Garner tables (invq is [L, L], not limb-shardable; the
+    sharded pipeline reconstructs via the single-pass path only) and the
+    keyswitch subset tables (this pipeline keyswitches on the full chain —
+    same exact integers, so results stay bit-identical)."""
+    return {k: v for k, v in C.items() if k not in ('garner', 'ksw')}
 
 
 def table_specs(limb: str = 'limb'):

@@ -159,3 +159,31 @@ def test_ntt_roundtrip_and_dft_oracle(ctx, dev):
             assert ev[0, l, j] == want
     back = np.asarray(dev.ntt_inv(jnp.asarray(ev, jnp.int32)))
     assert np.array_equal(back, res)
+
+
+def test_ksw_subset_basis_equals_full():
+    """The keyswitch subset basis (context.ksw_value_primes) must produce
+    bit-identical keyswitch outputs to the full chain: the dot product is
+    exact in both bases by the subset budget."""
+    from fhe_si_tpu import sampling, scheme
+
+    def run(force_full: bool):
+        c = FheContext(m=22, log_q=80, p=23, generator=7)
+        if force_full:
+            c.__dict__['ksw_value_primes'] = c.num_primes - 1
+        src = sampling.RandomSource(31)
+        sk, pk = scheme.keygen(c, src)
+        ksw = scheme.KeySwitch.for_relinearization(sk, src)
+        m1 = src.uniform_mod_p(c.phim, c.p)
+        m2 = src.uniform_mod_p(c.phim, c.p)
+        c1 = pk.encrypt(scheme.Plaintext(c, m1), src)
+        c2 = pk.encrypt(scheme.Plaintext(c, m2), src)
+        out = ksw.apply(c1 * c2)
+        return np.asarray(out.parts), c
+
+    full, cf = run(True)
+    sub, cs = run(False)
+    assert cf.ksw_value_primes == cf.num_primes - 1
+    assert cs.ksw_value_primes < cs.num_primes - 1, \
+        "subset did not engage at the canonical config"
+    assert np.array_equal(full, sub)
