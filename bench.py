@@ -64,7 +64,7 @@ def _chain_rate(dev, matrix, a, steps, reps=3):
     return batch * steps / best, best / steps
 
 
-def bench_device(batch=256, steps=16):
+def bench_device(batch=16384, steps=8):
     import jax
     import jax.numpy as jnp
     from fhe_si_tpu import sampling, scheme
@@ -89,14 +89,15 @@ def bench_device(batch=256, steps=16):
         y, _ = jax.lax.scan(body, x, None, length=steps)
         return jnp.sum(y)
 
-    ev = dev.from_poly(a)  # [B, 2, L, phim]
+    a_ntt = a[:2048]  # NTT probe needs no giant batch
+    ev = dev.from_poly(a_ntt)  # [B, 2, L, phim]
     res = dev.ntt_inv(ev)
     fn = jax.jit(ntt_chain)
     np.asarray(fn(dev.C, res))
     t0 = time.perf_counter()
     np.asarray(fn(dev.C, jnp.roll(res, 1, axis=0)))
     dt = time.perf_counter() - t0
-    ntt_rate = batch * 2 * ctx.num_primes * 2 * steps / dt
+    ntt_rate = a_ntt.shape[0] * 2 * ctx.num_primes * 2 * steps / dt
 
     def sd_chain(C, t):
         def body(cur, _):
@@ -109,10 +110,14 @@ def bench_device(batch=256, steps=16):
     tens = dev.tensor_mul_op(c1.parts, c1.parts)
     fn = jax.jit(sd_chain)
     np.asarray(fn(dev.C, tens))
-    t0 = time.perf_counter()
-    # roll along phim: distinct buffer, entries remain valid residues
-    np.asarray(fn(dev.C, jnp.roll(tens, 1, axis=-1)))
-    scale_ms = (time.perf_counter() - t0) / steps * 1e3
+    scale_ms = float("inf")
+    for r in range(3):
+        # roll along phim: distinct buffer, entries remain valid residues
+        x = jnp.roll(tens, r + 1, axis=-1)
+        x.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(fn(dev.C, x))
+        scale_ms = min(scale_ms, (time.perf_counter() - t0) / steps * 1e3)
 
     print(f"[bench] device: {rate:.1f} mults/s (batch={batch}, "
           f"{steps} chained steps, {step_s*1e3:.2f} ms/step); "
