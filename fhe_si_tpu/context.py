@@ -450,6 +450,41 @@ class FheContext:
         """Subset-basis CRT tables for the keyswitch dot reconstruction."""
         return self._fast_crt_for(self.ksw_value_primes)
 
+    # ---------------------------------------------------- linear prime subset
+    @cached_property
+    def lin_value_primes(self) -> int:
+        """Leading chain primes needed by the 'linear' scheme ops — the
+        ones that lift, take ONE product against a small-mass operand, and
+        immediately reconstruct: encrypt (pk*r, r binary), decrypt
+        (sum ct_i*sk_i, sk ternary HWt 64 / s^2 with |coeffs| <= 64),
+        automorph round trips (permutation only), multiply-by-constant
+        (constant coeffs < p).  Exact bound with the same reduction-growth
+        allowance as the tensor budget:
+
+            |V| <= phim * (q/2) * F * 8*phim*xi,   F = max(p, 3*64)
+
+        (F covers the worst small-mass factor: the constant mod p, or up
+        to 3 parts against |s^k| <= 64.)  Subset needs prod > 2*|V|max."""
+        F = max(self.p, 3 * 64)
+        bound = self.phim * (self.q // 2) * F * 8 * self.phim * max(self.xi, 1)
+        need = 2 * bound
+        prod, k = 1, 0
+        for q in self.primes[:self.num_primes - 1]:
+            if prod > need:
+                break
+            prod *= int(q)
+            k += 1
+        return k
+
+    @cached_property
+    def lin_rows(self) -> np.ndarray:
+        return np.concatenate([np.arange(self.lin_value_primes),
+                               [self.num_primes - 1]]).astype(np.int64)
+
+    @cached_property
+    def lin_fast_crt_tables(self) -> dict:
+        return self._fast_crt_for(self.lin_value_primes)
+
     @cached_property
     def residue_tables(self) -> dict:
         """Tables for limbs -> per-prime residues (from_poly) and limbs -> mod p.

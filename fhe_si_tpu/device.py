@@ -65,25 +65,32 @@ class DeviceContext:
                 mrinv_f=jnp.float32(1.0 / t['mr']),
                 Pinv_r=jnp.int32(t['Pinv_r']))
 
-        # Keyswitch subset basis (context.ksw_value_primes): the digit
-        # NTTs and the keyswitch-output reconstruction run over only the
-        # rows whose product covers the dot-product bound.  Exactness is
-        # basis-independent, so results stay bit-identical to the full
-        # chain (tests/test_scheme_parity.py, test_device.py subset test).
-        krows = ctx.ksw_rows
-        self.ksw_subset = len(krows) < ctx.num_primes
-        ksw_tables = None
-        if self.ksw_subset:
-            fwd_k = ntt.chunk_matrix(fwd[krows])
-            inv_k = ntt.chunk_matrix(inv[krows])
-            ksw_tables = dict(
-                rows=jnp.asarray(krows, dtype=jnp.int32),
-                q=as32(ctx.primes[krows][:, None]),
+        # Subset bases (context.ksw_value_primes / lin_value_primes):
+        # pipelines whose exact-integer bound is smaller than the tensor
+        # product's run their NTTs and reconstruction over only the rows
+        # whose product covers that bound.  Exactness is basis-independent,
+        # so results stay bit-identical to the full chain
+        # (tests/test_ops.py::test_ksw_subset_basis_equals_full and the
+        # oracle-parity suites).  Costs extra chunk-table HBM
+        # (~rows/L of the full tables per subset).
+        def subset_tables(rows, fast_crt_np):
+            if len(rows) >= ctx.num_primes:
+                return None
+            return dict(
+                rows=jnp.asarray(rows, dtype=jnp.int32),
+                q=as32(ctx.primes[rows][:, None]),
                 qinv_f=jnp.asarray(
-                    (1.0 / ctx.primes[krows][:, None]).astype(np.float32)),
-                fwd_chunks=jnp.asarray(fwd_k),
-                inv_chunks=jnp.asarray(inv_k),
-                fast_crt=fast_crt_dev(ctx.ksw_fast_crt_tables))
+                    (1.0 / ctx.primes[rows][:, None]).astype(np.float32)),
+                fwd_chunks=jnp.asarray(ntt.chunk_matrix(fwd[rows])),
+                inv_chunks=jnp.asarray(ntt.chunk_matrix(inv[rows])),
+                chunk_tbl=as32(rt['chunk_tbl'][:, rows]),
+                wrap=as32(rt['wrap'][rows][:, None]),
+                fast_crt=fast_crt_dev(fast_crt_np))
+
+        ksw_tables = subset_tables(ctx.ksw_rows, ctx.ksw_fast_crt_tables)
+        lin_tables = (ksw_tables if np.array_equal(ctx.lin_rows, ctx.ksw_rows)
+                      else subset_tables(ctx.lin_rows, ctx.lin_fast_crt_tables))
+        self.ksw_subset = ksw_tables is not None
         self.C = dict(
             q=as32(ctx.primes[:, None]),
             qinv_f=jnp.asarray((1.0 / ctx.primes[:, None]).astype(np.float32)),
@@ -96,6 +103,7 @@ class DeviceContext:
                 halfP_digits=as32(gt['halfP_digits'])),
             fast_crt=fast_crt_dev(ft),
             ksw=ksw_tables,
+            lin=lin_tables,
             chunk_tbl=as32(rt['chunk_tbl']),
             wrap=as32(rt['wrap'][:, None]),
             p_chunk_tbl=as32(rt['p_chunk_tbl']),
@@ -168,14 +176,40 @@ class DeviceContext:
     def _ntt(self, C, chunks_key, x):
         return self._ntt_raw(C[chunks_key], x, C['q'], C['qinv_f'])
 
+    @staticmethod
+    def _full_as_subset(C):
+        return dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
+                    fwd_chunks=C['fwd_chunks'], inv_chunks=C['inv_chunks'],
+                    chunk_tbl=C['chunk_tbl'], wrap=C['wrap'],
+                    fast_crt=C['fast_crt'])
+
     def _ksw_tables(self, C):
         """The keyswitch-path tables: the subset basis when it saves rows,
         otherwise aliases of the full-chain tables ('rows' None)."""
-        if C['ksw'] is not None:
-            return C['ksw']
-        return dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
-                    fwd_chunks=C['fwd_chunks'], inv_chunks=C['inv_chunks'],
-                    fast_crt=C['fast_crt'])
+        return C['ksw'] if C['ksw'] is not None else self._full_as_subset(C)
+
+    def _lin_tables(self, C):
+        """Tables for the linear ops (encrypt/decrypt/automorph/const-mul,
+        context.lin_value_primes)."""
+        return C['lin'] if C['lin'] is not None else self._full_as_subset(C)
+
+    def _from_poly_sub(self, T, poly_limbs):
+        res = crt.limbs_to_residues(poly_limbs, T['chunk_tbl'], T['wrap'],
+                                    T['q'], T['qinv_f'])
+        return self._ntt_raw(T['fwd_chunks'], res, T['q'], T['qinv_f'])
+
+    def _to_poly_sub(self, T, evals):
+        res = self._ntt_raw(T['inv_chunks'], evals, T['q'], T['qinv_f'])
+        return crt.residues_to_limbs_fast(res, T['fast_crt'], T['q'],
+                                          T['qinv_f'], self.n)
+
+    @staticmethod
+    def _gather_rows(T, evals_full, axis=-2):
+        """Full-chain eval tensors (keys, constants) restricted to the
+        subset rows (cheap relative to the NTTs they feed)."""
+        if T['rows'] is None:
+            return evals_full
+        return jnp.take(evals_full, T['rows'], axis=axis)
 
     def _from_poly(self, C, poly_limbs):
         res = crt.limbs_to_residues(poly_limbs, C['chunk_tbl'], C['wrap'],
@@ -220,13 +254,20 @@ class DeviceContext:
 
     # ------------------------------------------------------------ scheme ops
     def _encrypt(self, C, pk_evals, msg, r, errors):
-        r_evals = self._small_to_evals(C, r)
-        e_evals = modular.mod_mul(self._small_to_evals(C, errors),
-                                  C['p_mod_q'], C['q'], C['qinv_f'])
+        # linear subset basis: pk*r + p*e reconstructs exactly there
+        # (context.lin_value_primes bound; FHE-SI.cpp:10-36 semantics)
+        T = self._lin_tables(C)
+        pk_sub = self._gather_rows(T, pk_evals)
+        r_evals = self._ntt_raw(T['fwd_chunks'], r[..., None, :] % T['q'],
+                                T['q'], T['qinv_f'])
+        e_res = errors[..., None, :] % T['q']
+        e_evals = modular.mod_mul(
+            self._ntt_raw(T['fwd_chunks'], e_res, T['q'], T['qinv_f']),
+            self._gather_rows(T, C['p_mod_q']), T['q'], T['qinv_f'])
         ct_evals = modular.mod_add(
-            modular.mod_mul(pk_evals, r_evals[None], C['q'], C['qinv_f']),
-            e_evals, C['q'])
-        parts = self._to_poly(C, ct_evals)
+            modular.mod_mul(pk_sub, r_evals[None], T['q'], T['qinv_f']),
+            e_evals, T['q'])
+        parts = self._to_poly_sub(T, ct_evals)
         scaled = lb.scale_coeffs_by_bigint(msg, C['q_over_p'],
                                            C['q_over_p_sh10'])
         parts = parts.at[0].set(lb.add(parts[0], scaled))
@@ -242,12 +283,16 @@ class DeviceContext:
                                    in_axes=(None, None, 0, 0, 0)))
 
     def _decrypt(self, C, parts_limbs, sk_evals):
-        part_evals = self._from_poly(C, parts_limbs)
-        prod = modular.mod_mul(part_evals, sk_evals, C['q'], C['qinv_f'])
+        # linear subset basis: sum_i ct_i*sk_i (sk ternary HWt 64 powers)
+        # reconstructs exactly there (FHE-SI.cpp:93-119 semantics)
+        T = self._lin_tables(C)
+        part_evals = self._from_poly_sub(T, parts_limbs)
+        sk_sub = self._gather_rows(T, sk_evals)
+        prod = modular.mod_mul(part_evals, sk_sub, T['q'], T['qinv_f'])
         acc = prod[0]
         for i in range(1, prod.shape[0]):
-            acc = modular.mod_add(acc, prod[i], C['q'])
-        d = self._to_poly(C, acc)
+            acc = modular.mod_add(acc, prod[i], T['q'])
+        d = self._to_poly_sub(T, acc)
         y = lb.mul_small(d, 2 * self.p)
         y = lb.add(y, jnp.broadcast_to(C['q_limbs'], y.shape))
         y = lb.arith_shift_right(y, self.log_q + 1)
@@ -351,9 +396,10 @@ class DeviceContext:
         perm = jnp.asarray(self.ctx.automorph_perm(k), dtype=jnp.int32)
 
         def run(C, parts_limbs):
-            ev = self._from_poly(C, parts_limbs)
+            T = self._lin_tables(C)  # permutation: linear bound applies
+            ev = self._from_poly_sub(T, parts_limbs)
             ev = jnp.take(ev, perm, axis=-1)
-            return self._to_poly(C, ev)  # exact, NOT reduced (Ciphertext.cpp:54-59)
+            return self._to_poly_sub(T, ev)  # exact, NOT reduced (Ciphertext.cpp:54-59)
         return self._wrap(run)
 
     def automorph_tensored_op(self, k: int):
@@ -377,9 +423,11 @@ class DeviceContext:
     @cached_property
     def mul_const_op(self):
         def run(C, parts_limbs, const_evals):
-            ev = self._from_poly(C, parts_limbs)
-            ev = modular.mod_mul(ev, const_evals[None], C['q'], C['qinv_f'])
-            return self._reduce_signed(C, self._to_poly(C, ev))
+            T = self._lin_tables(C)  # constant coeffs < p: linear bound
+            ev = self._from_poly_sub(T, parts_limbs)
+            ev = modular.mod_mul(ev, self._gather_rows(T, const_evals)[None],
+                                 T['q'], T['qinv_f'])
+            return self._reduce_signed(C, self._to_poly_sub(T, ev))
         return self._wrap(run)
 
     @cached_property
@@ -468,9 +516,10 @@ class DeviceContext:
     @cached_property
     def batched_rotate_reduce_stage_op(self):
         def one(C, parts, perm, matrix):
-            ev = self._from_poly(C, parts)
+            T = self._lin_tables(C)
+            ev = self._from_poly_sub(T, parts)
             ev = jnp.take(ev, perm, axis=-1)
-            rotated = self._to_poly(C, ev)
+            rotated = self._to_poly_sub(T, ev)
             switched = self._keyswitch_parts(C, rotated, matrix)
             return self._reduce_signed(C, lb.add(parts, switched))
         return self._wrap(jax.vmap(one, in_axes=(None, 0, None, None)))

@@ -33,7 +33,7 @@ def _prune_tables(C):
     sharded pipeline reconstructs via the single-pass path only) and the
     keyswitch subset tables (this pipeline keyswitches on the full chain —
     same exact integers, so results stay bit-identical)."""
-    return {k: v for k, v in C.items() if k not in ('garner', 'ksw')}
+    return {k: v for k, v in C.items() if k not in ('garner', 'ksw', 'lin')}
 
 
 def table_specs(limb: str = 'limb'):
