@@ -86,13 +86,15 @@ def chunk_x(x):
     return out
 
 
-def modmatmul(mat_chunks, x, q, qinv_f):
-    """Exact (mat @ x) mod q, batched over the prime axis.
+def karatsuba_groups(mat_chunks, x):
+    """The six MXU dots + Karatsuba recombine, WITHOUT the modular Horner.
 
-    mat_chunks: int8 [N_PLANES, L, n_out, n_in]  (host digit+sum planes)
-    x:          int32 [..., L, n_in] residues in [0, q), q < 2^20
-    q, qinv_f:  [L, 1] broadcastables
-    returns     int32 [..., L, n_out]
+    Returns the five shift-group partial sums (c0..c4), each int32
+    [..., L, n_out] with |c_s| < 2^28.  These are LINEAR in x, so under
+    coefficient-axis sharding each shard computes them on its n_in slice
+    and a psum over the shards yields the full groups
+    (parallel/shard.py coeff_sharded_ntt) — the bounds above hold for the
+    full contraction length, so the psum cannot overflow.
     """
     d = chunk_x(x)
     # device-side pairwise sums; |d_i + d_j| <= 128 fits int8 exactly
@@ -106,13 +108,28 @@ def modmatmul(mat_chunks, x, q, qinv_f):
 
     p00, p11, p22 = mm(0, d[0]), mm(1, d[1]), mm(2, d[2])
     p01, p12, p02 = mm(3, d01), mm(4, d12), mm(5, d02)
-    c0 = p00
-    c1 = p01 - p00 - p11
-    c2 = p02 - p00 - p22 + p11
-    c3 = p12 - p11 - p22
-    c4 = p22
-    # Horner from the top shift down; |(r << 7) + c_s| < 2^27 + 2^28 < 2^29
-    r = barrett(c4, q, qinv_f)
-    for c in (c3, c2, c1, c0):
+    return (p00,
+            p01 - p00 - p11,
+            p02 - p00 - p22 + p11,
+            p12 - p11 - p22,
+            p22)
+
+
+def horner_combine(groups, q, qinv_f):
+    """Barrett-Horner combine of the shift groups into residues mod q;
+    |(r << 7) + c_s| < 2^27 + 2^28 < 2^29 keeps the f32 quotient exact."""
+    r = barrett(groups[-1], q, qinv_f)
+    for c in groups[-2::-1]:
         r = barrett((r << CHUNK_BITS) + c, q, qinv_f)
     return r
+
+
+def modmatmul(mat_chunks, x, q, qinv_f):
+    """Exact (mat @ x) mod q, batched over the prime axis.
+
+    mat_chunks: int8 [N_PLANES, L, n_out, n_in]  (host digit+sum planes)
+    x:          int32 [..., L, n_in] residues in [0, q), q < 2^20
+    q, qinv_f:  [L, 1] broadcastables
+    returns     int32 [..., L, n_out]
+    """
+    return horner_combine(karatsuba_groups(mat_chunks, x), q, qinv_f)

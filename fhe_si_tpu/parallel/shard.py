@@ -172,3 +172,45 @@ class ShardedPipelines:
             check_vma=False)
         jitted = jax.jit(sm)
         return lambda a, b, matrix: jitted(self.C, a, b, matrix)
+
+
+def make_coeff_mesh(n: int, devices=None) -> Mesh:
+    """1-D mesh over the polynomial-coefficient axis (the sequence-parallel
+    analog, SURVEY §2 axis 2: shard phi(m))."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices[:n]), ('coeff',))
+
+
+def coeff_sharded_ntt(dev, mesh: Mesh, forward: bool = True):
+    """Modular DFT matmul with phi(m) sharded over 'coeff'.
+
+    Each shard contracts its coefficient slice of the transform matrix
+    (six local MXU dots, ntt.karatsuba_groups); ONE psum of the five
+    int32 shift groups rides ICI (the groups are linear in x and bounded
+    for the full contraction, so the reduction is exact); the
+    Barrett-Horner combine runs replicated and each shard keeps its own
+    output-coefficient block (reduce-scatter pattern).
+
+    Returns jitted fn(x [B, L, phim] sharded on phim) -> same sharding.
+    """
+    key = 'fwd_chunks' if forward else 'inv_chunks'
+    n_shards = mesh.shape['coeff']
+
+    def step(mat, x, q, qinv_f):
+        groups = ntt.karatsuba_groups(mat, x)
+        groups = jax.lax.psum(groups, 'coeff')
+        r = ntt.horner_combine(groups, q, qinv_f)     # full output, replicated
+        i = jax.lax.axis_index('coeff')
+        loc = r.shape[-1] // n_shards
+        return jax.lax.dynamic_slice_in_dim(r, i * loc, loc, axis=-1)
+
+    sm = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(None, None, None, 'coeff'), P(None, None, 'coeff'),
+                  P(None, None), P(None, None)),
+        out_specs=P(None, None, 'coeff'),
+        check_vma=False)
+    jitted = jax.jit(sm)
+    C = dev.C
+    return lambda x: jitted(C[key], x, C['q'], C['qinv_f'])

@@ -101,3 +101,24 @@ def test_limb_sharded_elementwise(setup):
     out = f(ev_sh)
     want = modular.mod_mul(ev, ev, dev.q, dev.qinv_f)
     assert np.array_equal(np.asarray(out), np.asarray(want))
+
+
+def test_coeff_sharded_ntt_bit_exact(setup):
+    """phi(m)-axis sharded NTT (psum of Karatsuba shift groups) must equal
+    the single-device transform bit-for-bit, forward and inverse."""
+    from fhe_si_tpu.parallel.shard import coeff_sharded_ntt, make_coeff_mesh
+    from fhe_si_tpu.ops import ntt
+
+    ctx, dev, sk, ksw, cts = setup
+    assert ctx.phim % 2 == 0
+    m = make_coeff_mesh(2)
+    x = jnp.stack([dev.from_poly(c.parts) for c in cts[:3]])  # [3,2,L,phim]
+    x = x.reshape(-1, dev.L, ctx.phim) % jnp.asarray(dev.q)   # valid residues
+    for forward in (True, False):
+        key = 'fwd_chunks' if forward else 'inv_chunks'
+        want = np.asarray(ntt.modmatmul(dev.C[key], x, dev.q, dev.qinv_f))
+        x_sh = jax.device_put(
+            x, jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec(
+                None, None, 'coeff')))
+        got = np.asarray(coeff_sharded_ntt(dev, m, forward)(x_sh))
+        assert np.array_equal(got, want)
