@@ -51,6 +51,17 @@ def int_to_limbs(x: int, n: int) -> np.ndarray:
                     dtype=np.int32)
 
 
+def ints_to_limbs(values, n: int) -> np.ndarray:
+    """Vectorized int_to_limbs for a flat iterable of Python ints ->
+    int32 [len, n].  Uses int.to_bytes (C speed) instead of per-limb
+    Python shifts — the setup-time hot path for key material."""
+    mask = (1 << (LIMB_BITS * n)) - 1
+    nbytes = 2 * n
+    buf = b"".join((v & mask).to_bytes(nbytes, "little") for v in values)
+    arr = np.frombuffer(buf, dtype="<u2").reshape(-1, n)
+    return arr.astype(np.int32)
+
+
 def exact_modmatmul_f64(a: np.ndarray, b: np.ndarray, q: int,
                         k_chunk: int = 2048) -> np.ndarray:
     """Exact (a @ b) mod q for entries < q < 2^20 using float64 BLAS.
@@ -292,8 +303,9 @@ class FheContext:
         L, m, phim = self.num_primes, self.m, self.phim
         ks = np.arange(m, dtype=np.int64)
         cs = np.arange(phim, dtype=np.int64)
-        fwd = np.empty((L, phim, phim), dtype=np.int64)
-        inv = np.empty((L, phim, phim), dtype=np.int64)
+        # entries < 2^20: int32 halves host memory traffic for chunking
+        fwd = np.empty((L, phim, phim), dtype=np.int32)
+        inv = np.empty((L, phim, phim), dtype=np.int32)
         for l in range(L):
             q = int(self.primes[l])
             w = int(self.roots[l])

@@ -73,16 +73,22 @@ class DeviceContext:
         # (tests/test_ops.py::test_ksw_subset_basis_equals_full and the
         # oracle-parity suites).  Costs extra chunk-table HBM
         # (~rows/L of the full tables per subset).
+        # full chunk tables are uploaded ONCE; subset tables are gathered
+        # ON DEVICE (jnp.take) — no extra host chunking or tunnel transfer
+        fwd_chunks_dev = jnp.asarray(ntt.chunk_matrix(fwd))
+        inv_chunks_dev = jnp.asarray(ntt.chunk_matrix(inv))
+
         def subset_tables(rows, fast_crt_np):
             if len(rows) >= ctx.num_primes:
                 return None
+            rows_dev = jnp.asarray(rows, dtype=jnp.int32)
             return dict(
-                rows=jnp.asarray(rows, dtype=jnp.int32),
+                rows=rows_dev,
                 q=as32(ctx.primes[rows][:, None]),
                 qinv_f=jnp.asarray(
                     (1.0 / ctx.primes[rows][:, None]).astype(np.float32)),
-                fwd_chunks=jnp.asarray(ntt.chunk_matrix(fwd[rows])),
-                inv_chunks=jnp.asarray(ntt.chunk_matrix(inv[rows])),
+                fwd_chunks=jnp.take(fwd_chunks_dev, rows_dev, axis=1),
+                inv_chunks=jnp.take(inv_chunks_dev, rows_dev, axis=1),
                 chunk_tbl=as32(rt['chunk_tbl'][:, rows]),
                 wrap=as32(rt['wrap'][rows][:, None]),
                 fast_crt=fast_crt_dev(fast_crt_np))
@@ -95,8 +101,8 @@ class DeviceContext:
             q=as32(ctx.primes[:, None]),
             qinv_f=jnp.asarray((1.0 / ctx.primes[:, None]).astype(np.float32)),
             p_mod_q=as32((ctx.p % ctx.primes)[:, None]),
-            fwd_chunks=jnp.asarray(ntt.chunk_matrix(fwd)),
-            inv_chunks=jnp.asarray(ntt.chunk_matrix(inv)),
+            fwd_chunks=fwd_chunks_dev,
+            inv_chunks=inv_chunks_dev,
             garner=dict(
                 invq=as32(gt['invq']), W=as32(gt['W']), Wh=as32(gt['Wh']),
                 P_limbs=as32(gt['P_limbs']),
@@ -392,19 +398,29 @@ class DeviceContext:
         return self._wrap(jax.vmap(self._keyswitch_parts,
                                    in_axes=(None, 0, None)))
 
-    def automorph_op(self, k: int):
-        perm = jnp.asarray(self.ctx.automorph_perm(k), dtype=jnp.int32)
-
-        def run(C, parts_limbs):
+    # The permutation is passed as a jit ARGUMENT, not closed over: a
+    # closed-over device array lowers to an HLO constant, which stalls
+    # compilation on a device->host fetch behind the queued work.
+    @cached_property
+    def _automorph_jit(self):
+        def run(C, parts_limbs, perm):
             T = self._lin_tables(C)  # permutation: linear bound applies
             ev = self._from_poly_sub(T, parts_limbs)
             ev = jnp.take(ev, perm, axis=-1)
             return self._to_poly_sub(T, ev)  # exact, NOT reduced (Ciphertext.cpp:54-59)
         return self._wrap(run)
 
+    def automorph_op(self, k: int):
+        perm = jnp.asarray(self.ctx.automorph_perm(k), dtype=jnp.int32)
+        return lambda parts: self._automorph_jit(parts, perm)
+
+    @cached_property
+    def _automorph_tensored_jit(self):
+        return self._wrap(lambda C, evals, perm: jnp.take(evals, perm, axis=-1))
+
     def automorph_tensored_op(self, k: int):
         perm = jnp.asarray(self.ctx.automorph_perm(k), dtype=jnp.int32)
-        return self._wrap(lambda C, evals: jnp.take(evals, perm, axis=-1))
+        return lambda evals: self._automorph_tensored_jit(evals, perm)
 
     @cached_property
     def mul_scalar_op(self):

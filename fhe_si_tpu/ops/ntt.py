@@ -50,25 +50,31 @@ _HALF = 1 << (CHUNK_BITS - 1)          # 64
 _MASK = (1 << CHUNK_BITS) - 1          # 127
 
 
-def _balanced_digits_np(mat: np.ndarray) -> list[np.ndarray]:
-    v = mat.astype(np.int64)
-    digits = []
-    for _ in range(N_CHUNKS - 1):
-        d = ((v + _HALF) & _MASK) - _HALF
-        digits.append(d)
-        v = (v - d) >> CHUNK_BITS
-    digits.append(v)  # top digit in [0, 64]
-    assert np.all(np.abs(digits[-1]) <= _HALF), "matrix entry exceeds 20 bits"
-    return digits
-
-
 def chunk_matrix(mat: np.ndarray) -> np.ndarray:
     """Host-side: [L, n, k] int matrix (entries in [0, 2^20)) -> balanced
     int8 digit planes [N_PLANES, L, n, k]: the 3 digits with
-    mat == sum_i d_i << (7i), then the 3 pairwise sums for Karatsuba."""
-    e = _balanced_digits_np(mat)
-    planes = e + [e[0] + e[1], e[1] + e[2], e[0] + e[2]]
-    return np.stack(planes).astype(np.int8)
+    mat == sum_i d_i << (7i), then the 3 pairwise sums for Karatsuba.
+
+    Digit ranges: d0, d1 in [-64, 63]; d2 in [0, 64]; every pairwise sum
+    lies in [-128, 127] and is computed directly in int8 (no wrap).
+    Processed one prime-slab at a time to keep temporaries at
+    O(n*k) int32 instead of O(L*n*k) (setup-time hot path at phim ~ 2000).
+    """
+    L = mat.shape[0]
+    out = np.empty((N_PLANES,) + mat.shape, dtype=np.int8)
+    for l in range(L):
+        v = mat[l].astype(np.int32)
+        for i in range(N_CHUNKS - 1):
+            d = ((v + _HALF) & _MASK) - _HALF
+            out[i, l] = d
+            np.subtract(v, d, out=v)
+            v >>= CHUNK_BITS
+        assert 0 <= v.min() and v.max() <= _HALF, "matrix entry exceeds 20 bits"
+        out[2, l] = v
+    np.add(out[0], out[1], out=out[3])
+    np.add(out[1], out[2], out=out[4])
+    np.add(out[0], out[2], out=out[5])
+    return out
 
 
 def chunk_x(x):

@@ -122,9 +122,10 @@ def poly_to_dcrt(coeffs: list[int], ref: refserial.RefContext,
 # ----------------------------------------------------------- object bridges
 def import_ciphertext(buf: bytes, ctx: FheContext) -> scheme.Ciphertext:
     parts = refserial.read_ciphertext(buf)
+    from .context import ints_to_limbs
     arr = np.stack([
-        np.stack([int_to_limbs(c, ctx.n_limbs)
-                  for c in (part + [0] * (ctx.phim - len(part)))[:ctx.phim]])
+        ints_to_limbs((part + [0] * (ctx.phim - len(part)))[:ctx.phim],
+                      ctx.n_limbs)
         for part in parts])
     return scheme.Ciphertext(ctx, parts=jnp.asarray(arr))
 
@@ -141,8 +142,8 @@ def import_secret_key(buf: bytes, ref: refserial.RefContext,
     evals = []
     for d in dcrts:
         poly = dcrt_to_poly(d, ref, ctx)
-        limbs = jnp.asarray(np.stack([int_to_limbs(c, ctx.n_limbs)
-                                      for c in poly]))
+        from .context import ints_to_limbs
+        limbs = jnp.asarray(ints_to_limbs(poly, ctx.n_limbs))
         evals.append(dev.from_poly(limbs))
     return scheme.FheSecretKey(ctx, jnp.stack(evals))
 

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import sampling
-from .context import FheContext, int_to_limbs, limbs_to_int
+from .context import FheContext, int_to_limbs, ints_to_limbs, limbs_to_int
 from .device import DeviceContext, device_context
 
 HWT = 64  # secret-key Hamming weight (FHE-SI.cpp:90)
@@ -129,8 +129,7 @@ def keygen(ctx: FheContext,
     if isinstance(rnd, sampling.RandomSource):
         rnd = sampling.sample_keygen(rnd, ctx.phim, ctx.stdev, ctx.log_q, HWT)
     dev = device_context(ctx)
-    c1_limbs = jnp.asarray(
-        np.stack([int_to_limbs(c, ctx.n_limbs) for c in rnd.c1]))
+    c1_limbs = jnp.asarray(ints_to_limbs(rnd.c1, ctx.n_limbs))
     sk_evals, pk_evals, pk_limbs = dev.keygen_op(
         jnp.asarray(rnd.s, dtype=jnp.int32),
         jnp.asarray(rnd.c0, dtype=jnp.int32), c1_limbs)
@@ -155,8 +154,7 @@ class KeySwitch:
                                             n_src, ctx.ndigits)
         dev = device_context(ctx)
         A_limbs = jnp.asarray(np.stack(
-            [np.stack([int_to_limbs(c, ctx.n_limbs) for c in poly])
-             for poly in rnd.A]))
+            [ints_to_limbs(poly, ctx.n_limbs) for poly in rnd.A]))
         e = jnp.asarray(np.stack(rnd.e), dtype=jnp.int32)
         matrix = dev.keyswitch_init_op(src_sk_evals, dst.sk_evals[1], A_limbs, e)
         return cls(ctx, matrix)

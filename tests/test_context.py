@@ -71,7 +71,8 @@ def test_ntt_inverse_consistency(ctx):
     fwd, inv = ctx.ntt_tables
     for l in (0, ctx.num_primes - 1):
         q = int(ctx.primes[l])
-        prod = (inv[l] @ fwd[l]) % q
+        # tables are int32; upcast so the tiny test matmul can't overflow
+        prod = (inv[l].astype(np.int64) @ fwd[l].astype(np.int64)) % q
         assert np.array_equal(prod, np.eye(ctx.phim, dtype=np.int64) % q)
 
 
