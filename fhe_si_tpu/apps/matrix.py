@@ -148,6 +148,65 @@ class Matrix:
         n = self.num_rows()
         return self._determinant([False] * n, [False] * n, n, reduce)
 
+    def invert_batched(self, mul_many: Callable, combine_signed: Callable,
+                       reduce_many: Callable, negate_many: Callable):
+        """Adjugate inverse computing each cofactor level as ONE batched
+        device call instead of the element-at-a-time recursion of
+        invert() (Matrix.cpp:182-263 semantics).
+
+        Plaintext-equivalent to invert(reduce): every level-k minor is
+        the same signed sum of entry*level-(k-1)-minor products and is
+        reduced (key-switched) exactly once per level, like the recursive
+        version; only the batching of independent products differs.
+
+        Callbacks (see scheme.mul_batch/combine_signed_batch/relin_batch/
+        scalar_mul_batch):
+          mul_many(pairs) -> products (tensored)
+          combine_signed(products, signs, group) -> one sum per group
+          reduce_many(cts) -> relinearized cts
+          negate_many(cts, signs) -> signed cts (non-tensored)
+        Returns (adjugate Matrix, determinant) like invert().
+        """
+        import itertools
+        n = self.num_rows()
+        rows_wo = {i: [r for r in range(n) if r != i] for i in range(n)}
+        # D[(i, S)] = det of the submatrix of rows_wo[i] (taken top-down,
+        # level k uses row rows_wo[i][n-1-k]) and columns S
+        D = {}
+        for i in range(n):
+            r = rows_wo[i][-1]
+            for c in range(n):
+                D[(i, (c,))] = self.at(r, c)
+        for k in range(2, n):
+            pairs, signs, keys = [], [], []
+            for i in range(n):
+                r = rows_wo[i][n - 1 - k]
+                for S in itertools.combinations(range(n), k):
+                    keys.append((i, S))
+                    for t, c in enumerate(S):
+                        sub = tuple(x for x in S if x != c)
+                        pairs.append((self.at(r, c), D[(i, sub)]))
+                        signs.append(-1 if t % 2 else 1)
+            sums = reduce_many(combine_signed(mul_many(pairs), signs, k))
+            for key, v in zip(keys, sums):
+                D[key] = v
+        # cofactors -> adjugate with the (-1)^(i+j) checkerboard
+        flat, fsigns = [], []
+        for i in range(n):
+            for j in range(n):
+                S = tuple(c for c in range(n) if c != j)
+                flat.append(D[(i, S)])
+                fsigns.append(-1 if (i + j) % 2 else 1)
+        flat = negate_many(flat, fsigns)
+        adj = [[None] * n for _ in range(n)]
+        for i in range(n):
+            for j in range(n):
+                adj[j][i] = flat[i * n + j]
+        adj_m = Matrix(adj)
+        det_pairs = [(self.at(0, i), adj_m.at(i, 0)) for i in range(n)]
+        det = reduce_many(combine_signed(mul_many(det_pairs), [1] * n, n))[0]
+        return adj_m, det
+
     def invert(self, reduce: Optional[Callable] = None):
         """Adjugate inverse (Matrix.cpp:182-214): returns (adjugate matrix,
         determinant); the true inverse is adj/det, kept unscaled exactly as

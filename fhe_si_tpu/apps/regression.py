@@ -106,11 +106,24 @@ class Regression:
         ksw = self.key_switch
 
         data_t = self.data.transpose()
-        last = data_t.mul_vector(self.labels)       # X^T y  (column)
-        xtx = data_t.mult_by_transpose()            # X^T X
+        d, nb = data_t.num_rows(), data_t.num_cols()
+        # X^T y and X^T X (upper triangle) as ONE batched product dispatch
+        # (same block-product sums as Matrix.mul_vector/MultByTranspose,
+        # Matrix.cpp:81-97, 150-174)
+        tri = [(i, j) for i in range(d) for j in range(i, d)]
+        pairs = ([(data_t.at(i, b), self.labels[b])
+                  for i in range(d) for b in range(nb)]
+                 + [(data_t.at(i, b), data_t.at(j, b))
+                    for i, j in tri for b in range(nb)])
+        sums = scheme.combine_signed_batch(
+            scheme.mul_batch(pairs), [1] * len(pairs), nb)
+        last = Matrix([[sums[i]] for i in range(d)])
+        xtx = Matrix([[None] * d for _ in range(d)])
+        for (i, j), ct in zip(tri, sums[d:]):
+            xtx.set(i, j, ct)
+            xtx.set(j, i, ct)
         # MapAll{keyswitch; SumBatchedData} fused into batched dispatches
         # (bit-identical to per-entry processing)
-        d = xtx.num_rows()
         entries = ([last.at(i, 0) for i in range(d)]
                    + [xtx.at(i, j) for i in range(d) for j in range(d)])
         rotations = list(zip(self.auto_ks, self.auto_key_switch))
@@ -122,12 +135,20 @@ class Regression:
         if self.data.num_cols() == 1:
             return [last.at(0, 0)], xtx.at(0, 0)
 
-        inv, det = xtx.invert(lambda ct: ksw.apply(ct))
-        theta_m = inv @ last
-        theta_m = theta_m.map_all(lambda ct: ksw.apply(ct))
+        # adjugate Invert + theta = adj(X^T X) * X^T y with every cofactor
+        # level as one batched dispatch (plaintext-equivalent to the
+        # reference's element-at-a-time recursion, Matrix.cpp:182-263)
+        reduce_many = lambda cts: scheme.relin_batch(cts, ksw)  # noqa: E731
+        inv, det = xtx.invert_batched(
+            scheme.mul_batch, scheme.combine_signed_batch, reduce_many,
+            scheme.scalar_mul_batch)
+        pairs = [(inv.at(i, k), last.at(k, 0))
+                 for i in range(d) for k in range(d)]
+        sums = scheme.combine_signed_batch(scheme.mul_batch(pairs),
+                                           [1] * (d * d), d)
+        theta_cts = reduce_many(sums)
 
-        theta = [theta_m.at(i, 0) + self._noise()
-                 for i in range(theta_m.num_rows())]
+        theta = [theta_cts[i] + self._noise() for i in range(d)]
         det = det + self._noise()
         return theta, det
 

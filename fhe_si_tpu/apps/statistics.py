@@ -88,20 +88,23 @@ class Statistics:
         if n < 1 or n > 2:
             raise ValueError("only moments 1 and 2 are supported")
         cols = self.data.num_cols()
-        moments = []
+        rows = self.data.num_rows()
         denom = self.n_elems[0]
-        for j in range(cols):
-            acc = self.data.at(0, j)
-            if n == 2:
-                acc = acc * acc
-            for i in range(1, self.data.num_rows()):
-                if j == 0:
-                    denom = denom + self.n_elems[i]
-                tmp = self.data.at(i, j)
-                if n == 2:
-                    tmp = tmp * tmp
-                acc = acc + tmp
-            moments.append(acc)
+        for i in range(1, rows):
+            denom = denom + self.n_elems[i]
+        if n == 2:
+            # all squares in one dispatch, then per-column block sums
+            pairs = [(self.data.at(i, j), self.data.at(i, j))
+                     for j in range(cols) for i in range(rows)]
+            moments = scheme.combine_signed_batch(
+                scheme.mul_batch(pairs), [1] * len(pairs), rows)
+        else:
+            moments = []
+            for j in range(cols):
+                acc = self.data.at(0, j)
+                for i in range(1, rows):
+                    acc = acc + self.data.at(i, j)
+                moments.append(acc)
         # batched keyswitch (n==2) + rotate-and-reduce over all columns
         rotations = list(zip(self.auto_ks, self.auto_key_switch))
         if n == 2:
@@ -117,24 +120,32 @@ class Statistics:
         ksw = self.key_switch
         mu, n_ct = self.compute_nth_moment(1)
 
-        mu_mat = Matrix([list(mu)]).transpose().mult_by_transpose()
-        d = mu_mat.num_rows()
-        for i in range(d):
-            for j in range(i, d):
-                v = ksw.apply(mu_mat.at(i, j)) * (-1)
-                mu_mat.set(i, j, v)
-                if i != j:
-                    mu_mat.set(j, i, v)
+        d = self.data.num_cols()
+        nb = self.data.num_rows()
+        pairs = [(i, j) for i in range(d) for j in range(i, d)]
 
-        cov = self.data.transpose().mult_by_transpose()
-        # upper triangle, batched: (keyswitch + rotate-reduce), then
-        # (*n, keyswitch) as one fused batched mul+relin
+        # -mu_i*mu_j upper triangle: one batched mul + relin + negate
+        mu_prods = scheme.mul_batch([(mu[i], mu[j]) for i, j in pairs])
+        mu_vals = scheme.scalar_mul_batch(
+            scheme.relin_batch(mu_prods, ksw), [-1] * len(pairs))
+        mu_mat = Matrix([[None] * d for _ in range(d)])
+        for (i, j), v in zip(pairs, mu_vals):
+            mu_mat.set(i, j, v)
+            mu_mat.set(j, i, v)
+
+        # X^T X upper triangle block sums, batched (MultByTranspose,
+        # Matrix.cpp:150-174)
+        data_t = self.data.transpose()
+        cov_pairs = [(data_t.at(i, b), data_t.at(j, b))
+                     for i, j in pairs for b in range(nb)]
+        cov_entries = scheme.combine_signed_batch(
+            scheme.mul_batch(cov_pairs), [1] * len(cov_pairs), nb)
+        # (keyswitch + rotate-reduce), then (*n, keyswitch) as one fused
+        # batched mul+relin
         import jax.numpy as jnp
         from ..device import device_context
-        pairs = [(i, j) for i in range(d) for j in range(i, d)]
         rotations = list(zip(self.auto_ks, self.auto_key_switch))
-        summed = scheme.keyswitch_sum_batch(
-            [cov.at(i, j) for i, j in pairs], ksw, rotations)
+        summed = scheme.keyswitch_sum_batch(cov_entries, ksw, rotations)
         dev = device_context(self.ctx)
         stack = jnp.stack([c.parts for c in summed])
         nrep = jnp.broadcast_to(n_ct.parts[None], stack.shape)

@@ -38,6 +38,24 @@ from .context import FheContext, int_to_limbs
 from .ops import crt, limbs as lb, modular, ntt
 
 
+def _enable_persistent_compile_cache():
+    """Persistent XLA compile cache for every entry point (the CLIs used
+    to pay full fresh compiles each process — ~60 s at phim~2000).
+    Opt out / redirect with FHE_SI_TPU_JAX_CACHE ('' disables)."""
+    import os
+    path = os.environ.get("FHE_SI_TPU_JAX_CACHE", "/tmp/fhe_si_tpu_jax_cache")
+    if not path:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_persistent_compile_cache()
+
+
 class DeviceContext:
     def __init__(self, ctx: FheContext):
         self.ctx = ctx
@@ -339,6 +357,31 @@ class DeviceContext:
     @cached_property
     def tensor_mul_op(self):
         return self._wrap(self._tensor_mul)
+
+    @cached_property
+    def batched_tensor_mul_op(self):
+        return self._wrap(jax.vmap(self._tensor_mul, in_axes=(None, 0, 0)))
+
+    @cached_property
+    def signed_group_sum_tensored_op(self):
+        """Batched det-level accumulation: sum_t s_t * tens_t within
+        uniform groups (tensored evals; s in {1, q-1} encodes +/-1)."""
+        def run(C, tens, s_mod):
+            # tens [G, k, parts, L, phim]; s_mod [G, k, 1, L, 1]
+            prod = modular.mod_mul(tens, s_mod, C['q'], C['qinv_f'])
+            acc = prod[:, 0]
+            for t in range(1, prod.shape[1]):
+                acc = modular.mod_add(acc, prod[:, t], C['q'])
+            return acc
+        return self._wrap(run)
+
+    @cached_property
+    def batched_mul_scalar_op(self):
+        def one(C, parts_limbs, scalar_abs, negate):
+            prod = lb.mul_small(parts_limbs, scalar_abs)
+            prod = jnp.where(negate, lb.neg(prod), prod)
+            return self._reduce_signed(C, prod)
+        return self._wrap(jax.vmap(one, in_axes=(None, 0, 0, 0)))
 
     def _scale_down(self, C, tprod_evals):
         x = self._to_poly(C, tprod_evals)

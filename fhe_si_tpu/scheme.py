@@ -220,6 +220,61 @@ def keyswitch_sum_batch(cts: list["Ciphertext"], ksw: KeySwitch,
     return [Ciphertext(ctx, parts=parts[i]) for i in range(len(cts))]
 
 
+def mul_batch(pairs: list[tuple["Ciphertext", "Ciphertext"]]
+              ) -> list["Ciphertext"]:
+    """One device dispatch for many independent tensor products of
+    same-shape non-tensored ciphertexts (Ciphertext.cpp:167-192 per pair)."""
+    if not pairs:
+        return []
+    ctx = pairs[0][0].ctx
+    dev = device_context(ctx)
+    a = jnp.stack([p.parts for p, _ in pairs])
+    b = jnp.stack([q.parts for _, q in pairs])
+    tens = dev.batched_tensor_mul_op(a, b)
+    return [Ciphertext(ctx, tprod=tens[i]) for i in range(len(pairs))]
+
+
+def combine_signed_batch(cts: list["Ciphertext"], signs: list[int],
+                         group: int) -> list["Ciphertext"]:
+    """sum_t signs[t]*cts[t] within consecutive groups of uniform size
+    (tensored state; one device dispatch).  The cofactor-level
+    accumulation of Matrix.cpp:224-263, batched."""
+    ctx = cts[0].ctx
+    dev = device_context(ctx)
+    tens = jnp.stack([ct.tprod for ct in cts])
+    G = len(cts) // group
+    tens = tens.reshape((G, group) + tens.shape[1:])
+    s = np.asarray(signs, dtype=np.int64).reshape(G, group)
+    q = np.asarray(ctx.primes, dtype=np.int64)
+    s_mod = np.where(s[..., None] < 0, q - 1, 1)        # [G, k, L]
+    s_mod = jnp.asarray(s_mod[:, :, None, :, None], jnp.int32)
+    out = dev.signed_group_sum_tensored_op(tens, s_mod)
+    return [Ciphertext(ctx, tprod=out[i]) for i in range(G)]
+
+
+def relin_batch(cts: list["Ciphertext"], ksw: KeySwitch) -> list["Ciphertext"]:
+    """Batched ScaleDown + ApplyKeySwitch over tensored ciphertexts."""
+    if not cts:
+        return []
+    ctx = cts[0].ctx
+    dev = device_context(ctx)
+    tens = jnp.stack([ct.tprod for ct in cts])
+    parts = dev.batched_keyswitch_tensored_op(tens, ksw.matrix_evals)
+    return [Ciphertext(ctx, parts=parts[i]) for i in range(len(cts))]
+
+
+def scalar_mul_batch(cts: list["Ciphertext"],
+                     scalars: list[int]) -> list["Ciphertext"]:
+    """Batched multiply-by-long over non-tensored ciphertexts."""
+    ctx = cts[0].ctx
+    dev = device_context(ctx)
+    parts = jnp.stack([ct.parts for ct in cts])
+    sabs = jnp.asarray([abs(s) for s in scalars], jnp.int32)
+    neg = jnp.asarray([s < 0 for s in scalars], jnp.bool_)
+    out = dev.batched_mul_scalar_op(parts, sabs, neg)
+    return [Ciphertext(ctx, parts=out[i]) for i in range(len(cts))]
+
+
 def sum_batch_only(cts: list["Ciphertext"],
                    rotations: list[tuple[int, KeySwitch]]) -> list["Ciphertext"]:
     """Batched rotate-and-reduce without a leading key switch (the n==1

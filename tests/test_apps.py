@@ -27,6 +27,31 @@ def test_matrix_over_ints():
     assert (m - Matrix([[1, 1], [1, 1]])).rows == [[0, 1], [2, 3]]
 
 
+@pytest.mark.parametrize("n", [2, 3, 4, 5])
+def test_invert_batched_matches_invert(n):
+    """invert_batched over plain ints == the recursive adjugate invert
+    (Matrix.cpp:182-263 semantics) for every supported dimension."""
+    rng = np.random.default_rng(n)
+    m = Matrix(rng.integers(-9, 10, size=(n, n)).tolist())
+    adj_ref, det_ref = m.invert()
+
+    def mul_many(pairs):
+        return [a * b for a, b in pairs]
+
+    def combine_signed(prods, signs, group):
+        return [sum(s * v for s, v in zip(signs[i:i + group],
+                                          prods[i:i + group]))
+                for i in range(0, len(prods), group)]
+
+    def negate_many(vals, signs):
+        return [s * v for s, v in zip(signs, vals)]
+
+    adj, det = m.invert_batched(mul_many, combine_signed,
+                                lambda xs: xs, negate_many)
+    assert det == det_ref
+    assert adj.rows == adj_ref.rows
+
+
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):
     path = str(tmp_path_factory.mktemp("data") / "reg.txt")
