@@ -12,10 +12,17 @@ Secondary metrics (NTT throughput, mod-switch latency) go to stderr.
 Timing methodology (hard-won, see tools/profile_*.py): on the axon
 runtime block_until_ready is NOT a reliable execution fence, identical-
 input launches can be memoized, and each launch pays ~25 ms of tunnel
-overhead.  Honest rates therefore require all three of:
-  1. `steps` data-dependent mul+relins chained inside ONE jit (lax.scan),
-  2. a distinct input buffer for every launch,
-  3. fetching a scalar reduction of the result (real bytes, tiny payload).
+overhead (measured: a trivial 8-step scan costs 25.7 ms wall —
+tools/bench_scan_overhead.py).  Honest rates therefore require all of:
+  1. `steps` data-dependent mul+relins chained inside ONE jit (lax.scan)
+     with steps LARGE enough that the 25 ms launch cost is noise
+     (steps=32 -> <0.8 ms/step bias; lax.scan itself adds no per-step
+     cost on this runtime),
+  2. DISTINCT multiplicands per step (a squaring chain lets XLA CSE the
+     two operand lifts into one; the reference benchmark op multiplies
+     two different ciphertexts),
+  3. a distinct input buffer for every launch,
+  4. fetching a scalar reduction of the result (real bytes, tiny payload).
 Reported rate = best of `reps` launches (machine is shared/noisy).
 """
 import json
@@ -46,7 +53,11 @@ def _chain_rate(dev, matrix, a, steps, reps=3):
         one = jax.vmap(dev._mul_relin, in_axes=(None, 0, 0, None))
 
         def body(cur, _):
-            return one(C, cur, cur, matrix), ()
+            # rolling the limb tensor along phim gives a DISTINCT second
+            # multiplicand (a valid ciphertext of a rotated polynomial),
+            # so the two operand lifts cannot be CSE'd into one
+            other = jnp.roll(cur, 1, axis=-2)
+            return one(C, cur, other, matrix), ()
 
         y, _ = jax.lax.scan(body, x, None, length=steps)
         return jnp.sum(y)
@@ -64,7 +75,7 @@ def _chain_rate(dev, matrix, a, steps, reps=3):
     return batch * steps / best, best / steps
 
 
-def bench_device(batch=16384, steps=8):
+def bench_device(batch=16384, steps=32):
     import jax
     import jax.numpy as jnp
     from fhe_si_tpu import sampling, scheme
@@ -150,7 +161,7 @@ def bench_oracle(iters=5):
     return rate
 
 
-def bench_big(p=4007, log_q=170, batch=64, steps=4):
+def bench_big(p=4007, log_q=170, batch=64, steps=16):
     """Regression-scale config (phim=2002): reported to stderr only —
     compile cost makes it too slow for the default driver run."""
     import jax.numpy as jnp

@@ -415,10 +415,8 @@ class DeviceContext:
         K = self._ksw_tables(C)
         mat = (matrix_evals if K['rows'] is None
                else jnp.take(matrix_evals, K['rows'], axis=2))
-        prod = modular.mod_mul(mat, digit_evals[None], K['q'], K['qinv_f'])
-        acc = prod[:, 0]
-        for k in range(1, prod.shape[1]):
-            acc = modular.mod_add(acc, prod[:, k], K['q'])
+        acc = modular.mod_dot(mat, digit_evals[None], K['q'], K['qinv_f'],
+                              axis=1)
         res = self._ntt_raw(K['inv_chunks'], acc, K['q'], K['qinv_f'])
         limbs = crt.residues_to_limbs_fast(res, K['fast_crt'], K['q'],
                                            K['qinv_f'], self.n)

@@ -49,6 +49,28 @@ def mod_mul(a, b, q, qinv_f):
     return barrett(u, q, qinv_f)
 
 
+def mod_dot(a, b, q, qinv_f, axis: int):
+    """Exact (sum_k a_k * b_k) mod q, reduced ONCE instead of per term.
+
+    Replaces a chain of mod_mul/mod_add (the KeySwitchSI::ApplyKeySwitch
+    dot, FHE-SI.cpp:246-254): split both operands at 10 bits, accumulate
+    the four partial-product sums UNREDUCED (each term < 2^20, so sums
+    stay int32-exact for K <= 512 terms), then a 3-step Barrett-Horner.
+    ~2.5x less VPU work than K mod_muls for K ~ 24.
+    """
+    K = a.shape[axis] if a.shape[axis] != 1 else b.shape[axis]
+    assert K <= 512, "mod_dot: too many terms for unreduced accumulation"
+    a_lo, a_hi = a & DMASK, a >> D
+    b_lo, b_hi = b & DMASK, b >> D
+    ll = jnp.sum(a_lo * b_lo, axis=axis)          # < K * 2^20
+    lh = (jnp.sum(a_lo * b_hi, axis=axis)
+          + jnp.sum(a_hi * b_lo, axis=axis))      # < 2K * 2^20
+    hh = jnp.sum(a_hi * b_hi, axis=axis)          # < K * 2^20
+    r = barrett(hh, q, qinv_f)
+    r = barrett((r << D) + lh, q, qinv_f)         # < 2^30 + 2K*2^20
+    return barrett((r << D) + ll, q, qinv_f)      # < 2^30 + K*2^20
+
+
 def mod_add(a, b, q):
     s = a + b
     return jnp.where(s >= q, s - q, s)

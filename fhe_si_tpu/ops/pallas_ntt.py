@@ -1,14 +1,22 @@
 """Fused exact modular NTT matmul as a Pallas TPU kernel.
 
-ntt.modmatmul builds N_CHUNKS^2 separate XLA dots whose partial products round-trip
-through HBM before the Barrett-Horner combine.  This kernel keeps the whole
-chunk x chunk accumulation and the modular recombine in VMEM: grid over
-(prime l, output tile o), MXU s8xs8->s32 dots per chunk pair, f32-Barrett
-on the VPU, one HBM write per output tile.
+ntt.modmatmul builds six separate XLA int8 dots whose int32 partial
+products round-trip through HBM before the Karatsuba/Barrett-Horner
+combine — ~2 GB of avoidable traffic per step at production shapes.
+This kernel keeps the whole digit-product accumulation and the modular
+recombine in VMEM: one HBM read of x and the tables, one HBM write of
+the residues.
 
-Used when phim is large enough to tile (>= 256 and a multiple of 128 after
-padding); the einsum path remains the reference implementation and the
-fallback for small/odd shapes.
+Layout and tiling:
+  grid = (prime l, output tile o, batch tile b) — b innermost, so the
+  (l, o) table block stays VMEM-resident across the batch sweep and the
+  full table stack is fetched exactly once per call.
+  Tables are PRE-TRANSPOSED to [N_PLANES, L, n_in, n_out] (the MXU's
+  natural rhs layout; ntt.chunk_matrix emits [P, L, n_out, n_in]).
+
+The einsum path (ops/ntt.py) remains the reference implementation and
+the fallback for small shapes; parity is asserted by
+tests/test_pallas_ntt.py against it.
 """
 from __future__ import annotations
 
@@ -22,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .ntt import CHUNK_BITS, N_CHUNKS, N_PLANES
 
 TILE_O = 256
+TILE_B = 128
 
 
 def _barrett(t, q, qinv):
@@ -35,7 +44,7 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
     l = pl.program_id(0)
     q = q_ref[l, 0]
     qinv = qinv_ref[l, 0]
-    x = x_ref[0]                                         # [B, Ni] int32
+    x = x_ref[0]                                         # [TB, Ni] int32
     # balanced 7-bit digit split (see ntt.chunk_x): |d_i| <= 64
     half, mask = 1 << (CHUNK_BITS - 1), (1 << CHUNK_BITS) - 1
     xcs = []
@@ -51,8 +60,8 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
 
     def mm(plane, vec):
         return jax.lax.dot_general(
-            vec, c_ref[plane, 0], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)            # [B, TO]
+            vec, c_ref[plane, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)            # [TB, TO]
 
     p00, p11, p22 = mm(0, xcs[0]), mm(1, xcs[1]), mm(2, xcs[2])
     p01, p12, p02 = mm(3, d01), mm(4, d12), mm(5, d02)
@@ -64,39 +73,45 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
     o_ref[0] = r
 
 
-@functools.partial(jax.jit, static_argnames=("tile_o",))
-def modmatmul_pallas(mat_chunks, x, q, qinv_f, tile_o: int = TILE_O):
-    """Drop-in for ntt.modmatmul on large shapes.
+@functools.partial(jax.jit, static_argnames=("tile_o", "tile_b"))
+def modmatmul_pallas(mat_chunks_t, x, q, qinv_f,
+                     tile_o: int = TILE_O, tile_b: int = TILE_B):
+    """Drop-in for ntt.modmatmul on large shapes (TRANSPOSED tables).
 
-    mat_chunks: int8 [N_PLANES, L, No, Ni]; x: int32 [..., L, Ni];
+    mat_chunks_t: int8 [N_PLANES, L, Ni, No] (= chunk_matrix output with
+                  the last two axes swapped); x: int32 [..., L, Ni];
     q/qinv_f: [L, 1].  Returns int32 [..., L, No].
     """
     *lead, L, Ni = x.shape
-    No = mat_chunks.shape[2]
+    No = mat_chunks_t.shape[3]
     xb = jnp.moveaxis(x.reshape(-1, L, Ni), 1, 0)  # [L, B, Ni]
     B = xb.shape[1]
     pad_o = (-No) % tile_o
-    mc = mat_chunks
+    pad_b = (-B) % tile_b
+    mc = mat_chunks_t
     if pad_o:
-        mc = jnp.pad(mat_chunks, ((0, 0), (0, 0), (0, pad_o), (0, 0)))
-    no_pad = No + pad_o
+        mc = jnp.pad(mc, ((0, 0), (0, 0), (0, 0), (0, pad_o)))
+    if pad_b:
+        xb = jnp.pad(xb, ((0, 0), (0, pad_b), (0, 0)))
+    no_pad, b_pad = No + pad_o, B + pad_b
 
-    grid = (L, no_pad // tile_o)
+    grid = (L, no_pad // tile_o, b_pad // tile_b)
     out = pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, 1), lambda l, o: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((L, 1), lambda l, o: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_PLANES, 1, tile_o, Ni), lambda l, o: (0, l, o, 0),
+            pl.BlockSpec((L, 1), lambda l, o, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 1), lambda l, o, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_PLANES, 1, Ni, tile_o), lambda l, o, b: (0, l, 0, o),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, Ni), lambda l, o: (l, 0, 0),
+            pl.BlockSpec((1, tile_b, Ni), lambda l, o, b: (l, b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, B, tile_o), lambda l, o: (l, 0, o),
+        out_specs=pl.BlockSpec((1, tile_b, tile_o), lambda l, o, b: (l, b, o),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, B, no_pad), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((L, b_pad, no_pad), jnp.int32),
     )(q[:, :1], qinv_f[:, :1], mc, xb)
-    if pad_o:
-        out = out[..., :No]
+    out = out[:, :B, :No]
     return jnp.moveaxis(out, 0, 1).reshape(*lead, L, No)

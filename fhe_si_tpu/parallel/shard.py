@@ -125,10 +125,8 @@ class ShardedPipelines:
         dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
         d_ev = ntt.modmatmul(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
 
-        prod = modular.mod_mul(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'])
-        acc = prod[:, 0]
-        for k in range(1, prod.shape[1]):
-            acc = modular.mod_add(acc, prod[:, k], Cl['q'])
+        acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
+                              axis=1)
         out = self._to_poly_psum(Cl, acc)
         return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'])
 

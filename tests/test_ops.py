@@ -42,6 +42,22 @@ def test_barrett_and_modmul_randomized():
         assert np.array_equal(got, (a * b) % qv)
 
 
+def test_mod_dot_randomized():
+    """mod_dot (keyswitch dot, deferred reduction) vs Python ints, at the
+    production term count (parts*ndigits = 24) and the 512-term bound."""
+    rng = np.random.default_rng(1)
+    for qv in (1048433, 524309, 23):
+        q = jnp.int32(qv)
+        qinv = jnp.float32(1.0 / qv)
+        for K in (1, 24, 512):
+            a = rng.integers(0, qv, (K, 257), dtype=np.int64)
+            b = rng.integers(0, qv, (K, 257), dtype=np.int64)
+            got = np.asarray(modular.mod_dot(
+                jnp.asarray(a, jnp.int32), jnp.asarray(b, jnp.int32),
+                q, qinv, axis=0))
+            assert np.array_equal(got, (a * b).sum(axis=0) % qv)
+
+
 def test_limb_add_mul_shift(ctx, dev):
     rng = np.random.default_rng(1)
     n = ctx.n_limbs

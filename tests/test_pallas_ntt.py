@@ -19,14 +19,16 @@ def test_pallas_matches_einsum(m, p, g):
     res = np.stack([rng.integers(0, int(q), (3, ctx.phim)) for q in ctx.primes],
                    axis=1)
     x = jnp.asarray(res, jnp.int32)
+    fwd_t = jnp.swapaxes(dev.fwd_chunks, -1, -2)
+    inv_t = jnp.swapaxes(dev.inv_chunks, -1, -2)
     want = np.asarray(ntt.modmatmul(dev.fwd_chunks, x, dev.q, dev.qinv_f))
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(pallas_ntt.modmatmul_pallas(
-            dev.fwd_chunks, x, dev.q, dev.qinv_f, tile_o=128))
+            fwd_t, x, dev.q, dev.qinv_f, tile_o=128, tile_b=2))
     assert np.array_equal(got, want)
     # inverse too (roundtrip)
     with pltpu.force_tpu_interpret_mode():
         back = np.asarray(pallas_ntt.modmatmul_pallas(
-            dev.inv_chunks, jnp.asarray(want, jnp.int32), dev.q, dev.qinv_f,
-            tile_o=128))
+            inv_t, jnp.asarray(want, jnp.int32), dev.q, dev.qinv_f,
+            tile_o=128, tile_b=2))
     assert np.array_equal(back, res)
