@@ -96,17 +96,34 @@ class DeviceContext:
         fwd_chunks_dev = jnp.asarray(ntt.chunk_matrix(fwd))
         inv_chunks_dev = jnp.asarray(ntt.chunk_matrix(inv))
 
+        def prescale_inv(planes, fast_crt_np, q_np):
+            """iNTT planes with binv folded in (value rows; redundant row
+            keeps scale 1 so crt_partials' er stays raw) — re-chunked on
+            device, so no extra host work or tunnel upload."""
+            binv = np.asarray(fast_crt_np['binv'], dtype=np.int64)
+            scale = np.where(binv == 0, 1, binv)  # binv==0 only at redundant
+            return ntt.prescale_planes(
+                planes,
+                as32(scale[:, None, None]),
+                as32(q_np[:, None, None]),
+                jnp.asarray((1.0 / q_np[:, None, None]).astype(np.float32)))
+
         def subset_tables(rows, fast_crt_np):
             if len(rows) >= ctx.num_primes:
                 return None
             rows_dev = jnp.asarray(rows, dtype=jnp.int32)
+            q_np = ctx.primes[rows]
             return dict(
                 rows=rows_dev,
-                q=as32(ctx.primes[rows][:, None]),
+                q=as32(q_np[:, None]),
                 qinv_f=jnp.asarray(
-                    (1.0 / ctx.primes[rows][:, None]).astype(np.float32)),
+                    (1.0 / q_np[:, None]).astype(np.float32)),
                 fwd_chunks=jnp.take(fwd_chunks_dev, rows_dev, axis=1),
-                inv_chunks=jnp.take(inv_chunks_dev, rows_dev, axis=1),
+                # subset iNTTs always feed the subset CRT reconstruction:
+                # store them with the subset-basis binv folded in
+                inv_chunks=prescale_inv(
+                    jnp.take(inv_chunks_dev, rows_dev, axis=1),
+                    fast_crt_np, q_np),
                 chunk_tbl=as32(rt['chunk_tbl'][:, rows]),
                 wrap=as32(rt['wrap'][rows][:, None]),
                 fast_crt=fast_crt_dev(fast_crt_np))
@@ -121,6 +138,10 @@ class DeviceContext:
             p_mod_q=as32((ctx.p % ctx.primes)[:, None]),
             fwd_chunks=fwd_chunks_dev,
             inv_chunks=inv_chunks_dev,
+            # full-chain iNTT with the full-basis binv folded in, for the
+            # to_poly sites (raw 'inv_chunks' stays for the public
+            # ntt_inv / SingleCrt conversions)
+            inv_chunks_crt=prescale_inv(inv_chunks_dev, ft, ctx.primes),
             garner=dict(
                 invq=as32(gt['invq']), W=as32(gt['W']), Wh=as32(gt['Wh']),
                 P_limbs=as32(gt['P_limbs']),
@@ -202,8 +223,12 @@ class DeviceContext:
 
     @staticmethod
     def _full_as_subset(C):
+        # inv_chunks_crt: subset inv tables are binv-prescaled, so the
+        # full-chain fallback must be too (_to_poly_sub reconstructs with
+        # prescaled=True)
         return dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
-                    fwd_chunks=C['fwd_chunks'], inv_chunks=C['inv_chunks'],
+                    fwd_chunks=C['fwd_chunks'],
+                    inv_chunks=C['inv_chunks_crt'],
                     chunk_tbl=C['chunk_tbl'], wrap=C['wrap'],
                     fast_crt=C['fast_crt'])
 
@@ -225,7 +250,8 @@ class DeviceContext:
     def _to_poly_sub(self, T, evals):
         res = self._ntt_raw(T['inv_chunks'], evals, T['q'], T['qinv_f'])
         return crt.residues_to_limbs_fast(res, T['fast_crt'], T['q'],
-                                          T['qinv_f'], self.n)
+                                          T['qinv_f'], self.n,
+                                          prescaled=True)
 
     @staticmethod
     def _gather_rows(T, evals_full, axis=-2):
@@ -241,9 +267,10 @@ class DeviceContext:
         return self._ntt(C, 'fwd_chunks', res)
 
     def _to_poly(self, C, evals):
-        res = self._ntt(C, 'inv_chunks', evals)
+        res = self._ntt(C, 'inv_chunks_crt', evals)
         return crt.residues_to_limbs_fast(res, C['fast_crt'], C['q'],
-                                          C['qinv_f'], self.n)
+                                          C['qinv_f'], self.n,
+                                          prescaled=True)
 
     def _small_to_evals(self, C, coeffs):
         res = coeffs[..., None, :] % C['q']
@@ -419,7 +446,8 @@ class DeviceContext:
                               axis=1)
         res = self._ntt_raw(K['inv_chunks'], acc, K['q'], K['qinv_f'])
         limbs = crt.residues_to_limbs_fast(res, K['fast_crt'], K['q'],
-                                           K['qinv_f'], self.n)
+                                           K['qinv_f'], self.n,
+                                           prescaled=True)
         return self._reduce_signed(C, limbs)
 
     @cached_property

@@ -54,8 +54,14 @@ def limbs_to_mod_small(poly, p_chunk_tbl, p_wrap, p, pinv_f):
     return barrett(raw, p, pinv_f)
 
 
-def crt_partials(res, t, q, qinv_f):
+def crt_partials(res, t, q, qinv_f, prescaled: bool = False):
     """Per-prime-local half of the single-pass CRT reconstruction.
+
+    prescaled=True: the caller's iNTT table already carried the binv
+    factor (value rows scaled by b_l^{-1} mod q_l, redundant row by 1 —
+    device.DeviceContext 'inv_chunks_crt'), so `res` IS c and the
+    per-element mod_mul is skipped.  The redundant row then holds the raw
+    E mod m_r, which is exactly what the one-hot er dot expects.
 
     res: [..., Lrows, phim] residue rows INCLUDING the redundant-modulus
     row.  The tables (context.fast_crt_tables) are padded to the full
@@ -79,7 +85,10 @@ def crt_partials(res, t, q, qinv_f):
     mr = t['mr']            # int32 scalar
     mrinv = t['mrinv_f']    # float32 scalar
 
-    c = mod_mul(res, t['binv'][:, None], q, qinv_f)   # 0 on the redundant row
+    if prescaled:
+        c = res  # acc/sig terms on the redundant row are zeroed by B/Bmodr
+    else:
+        c = mod_mul(res, t['binv'][:, None], q, qinv_f)  # 0 on redundant row
 
     # limb accumulation  S = sum_l c_l * B_l   (10-bit digit split)
     cl = (c & 1023)[..., None]
@@ -119,7 +128,8 @@ def crt_finish(acc, sig_raw, er, t, n_limbs: int):
     return out
 
 
-def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
+def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int,
+                           prescaled: bool = False):
     """Single-pass CRT reconstruction via the redundant modulus
     (context.fast_crt_tables): no serial Garner scan — O(L) parallel
     elementwise work plus one small exact correction.  Returns the
@@ -127,7 +137,7 @@ def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int):
 
     res: [..., L, phim] with the LAST row tracking E mod m_r.
     """
-    acc, sig_raw, er = crt_partials(res, t, q, qinv_f)
+    acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled)
     return crt_finish(acc, sig_raw, er, t, n_limbs)
 
 

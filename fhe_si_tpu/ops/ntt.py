@@ -92,6 +92,29 @@ def chunk_x(x):
     return out
 
 
+def prescale_planes(planes, scale, q, qinv_f):
+    """Device-side re-chunking of a table with a per-prime scalar folded in.
+
+    Rebuilds the integer entries from the 3 digit planes, multiplies by
+    `scale` mod q, and re-splits (same balanced digits + pairwise sums as
+    chunk_matrix).  Used at DeviceContext init to fold the CRT
+    premultiplier binv into the iNTT tables ('inv_chunks_crt').
+
+    planes: int8 [N_PLANES, L, n, k]; scale/q/qinv_f broadcastable to
+    [L, n, k].  Returns int8 [N_PLANES, L, n, k].
+    """
+    from .modular import mod_mul
+    v = (planes[0].astype(jnp.int32)
+         + (planes[1].astype(jnp.int32) << CHUNK_BITS)
+         + (planes[2].astype(jnp.int32) << (2 * CHUNK_BITS)))
+    v = mod_mul(v, scale, q, qinv_f)
+    d = chunk_x(v)
+    d01 = (d[0].astype(jnp.int32) + d[1]).astype(jnp.int8)
+    d12 = (d[1].astype(jnp.int32) + d[2]).astype(jnp.int8)
+    d02 = (d[0].astype(jnp.int32) + d[2]).astype(jnp.int8)
+    return jnp.stack([d[0], d[1], d[2], d01, d12, d02])
+
+
 def karatsuba_groups(mat_chunks, x):
     """The six MXU dots + Karatsuba recombine, WITHOUT the modular Horner.
 

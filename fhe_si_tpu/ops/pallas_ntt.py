@@ -73,6 +73,87 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
     o_ref[0] = r
 
 
+def _kernel_raw(q_ref, qinv_ref, c_ref, x_ref, o_ref):
+    """Like _kernel, but x carries RAW int32 values (|x| < q * 2^20, e.g.
+    ByteDecomp digits < 2^24) shared across primes: the per-prime Barrett
+    reduction happens here in VMEM, so the [K, L, phim] residue tensor of
+    the digit stage never exists in HBM."""
+    l = pl.program_id(0)
+    q = q_ref[l, 0]
+    qinv = qinv_ref[l, 0]
+    x = _barrett(x_ref[...], q, qinv)                    # [TB, Ni]
+    half, mask = 1 << (CHUNK_BITS - 1), (1 << CHUNK_BITS) - 1
+    xcs = []
+    v = x
+    for _ in range(N_CHUNKS - 1):
+        d = ((v + half) & mask) - half
+        xcs.append(d.astype(jnp.int8))
+        v = (v - d) >> CHUNK_BITS
+    xcs.append(v.astype(jnp.int8))
+    d01 = (xcs[0].astype(jnp.int32) + xcs[1]).astype(jnp.int8)
+    d12 = (xcs[1].astype(jnp.int32) + xcs[2]).astype(jnp.int8)
+    d02 = (xcs[0].astype(jnp.int32) + xcs[2]).astype(jnp.int8)
+
+    def mm(plane, vec):
+        return jax.lax.dot_general(
+            vec, c_ref[plane, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    p00, p11, p22 = mm(0, xcs[0]), mm(1, xcs[1]), mm(2, xcs[2])
+    p01, p12, p02 = mm(3, d01), mm(4, d12), mm(5, d02)
+    cs = (p00, p01 - p00 - p11, p02 - p00 - p22 + p11,
+          p12 - p11 - p22, p22)
+    r = _barrett(cs[-1], q, qinv)
+    for s in range(2 * N_CHUNKS - 3, -1, -1):
+        r = _barrett((r << CHUNK_BITS) + cs[s], q, qinv)
+    o_ref[0] = r
+
+
+@functools.partial(jax.jit, static_argnames=("tile_o", "tile_b"))
+def modmatmul_pallas_raw(mat_chunks_t, x, q, qinv_f,
+                         tile_o: int = TILE_O, tile_b: int = TILE_B):
+    """NTT of raw int32 rows broadcast across all L primes.
+
+    mat_chunks_t: int8 [N_PLANES, L, Ni, No]; x: int32 [..., Ni] with
+    |x| < min(q) * 2^20 (ByteDecomp digits qualify); q/qinv_f: [L, 1].
+    Returns int32 [..., L, No] — residues of (mat @ (x mod q_l)) mod q_l.
+    """
+    *lead, Ni = x.shape
+    L = mat_chunks_t.shape[1]
+    No = mat_chunks_t.shape[3]
+    xb = x.reshape(-1, Ni)
+    B = xb.shape[0]
+    pad_o = (-No) % tile_o
+    pad_b = (-B) % tile_b
+    mc = mat_chunks_t
+    if pad_o:
+        mc = jnp.pad(mc, ((0, 0), (0, 0), (0, 0), (0, pad_o)))
+    if pad_b:
+        xb = jnp.pad(xb, ((0, pad_b), (0, 0)))
+    no_pad, b_pad = No + pad_o, B + pad_b
+
+    grid = (L, no_pad // tile_o, b_pad // tile_b)
+    out = pl.pallas_call(
+        _kernel_raw,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 1), lambda l, o, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, 1), lambda l, o, b: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_PLANES, 1, Ni, tile_o), lambda l, o, b: (0, l, 0, o),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_b, Ni), lambda l, o, b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_b, tile_o), lambda l, o, b: (l, b, o),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, b_pad, no_pad), jnp.int32),
+    )(q[:, :1], qinv_f[:, :1], mc, xb)
+    out = out[:, :B, :No]
+    return jnp.moveaxis(out, 0, 1).reshape(*lead, L, No)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_o", "tile_b"))
 def modmatmul_pallas(mat_chunks_t, x, q, qinv_f,
                      tile_o: int = TILE_O, tile_b: int = TILE_B):

@@ -30,10 +30,12 @@ from ..ops import crt, limbs as lb, modular, ntt
 
 def _prune_tables(C):
     """Drop the Garner tables (invq is [L, L], not limb-shardable; the
-    sharded pipeline reconstructs via the single-pass path only) and the
+    sharded pipeline reconstructs via the single-pass path only), the
     keyswitch subset tables (this pipeline keyswitches on the full chain —
-    same exact integers, so results stay bit-identical)."""
-    return {k: v for k, v in C.items() if k not in ('garner', 'ksw', 'lin')}
+    same exact integers, so results stay bit-identical), and the raw iNTT
+    planes (every to_poly here uses the binv-prescaled 'inv_chunks_crt')."""
+    return {k: v for k, v in C.items()
+            if k not in ('garner', 'ksw', 'lin', 'inv_chunks')}
 
 
 def table_specs(limb: str = 'limb'):
@@ -47,7 +49,7 @@ def table_specs(limb: str = 'limb'):
     return dict(
         q=L_, qinv_f=L_, p_mod_q=L_,
         fwd_chunks=P(None, limb, None, None),
-        inv_chunks=P(None, limb, None, None),
+        inv_chunks_crt=P(None, limb, None, None),
         fast_crt=dict(
             binv=L, Bmodr=L, B=L_, Bh=L_, er_mask=L,
             P_limbs=P(None), P_limbs_sh10=P(None),
@@ -84,9 +86,9 @@ class ShardedPipelines:
     # ---------------------------------------------------- shard-local pieces
     def _to_poly_psum(self, Cl, evals):
         """Local iNTT + CRT partials, one psum over 'limb', replicated tail."""
-        res = ntt.modmatmul(Cl['inv_chunks'], evals, Cl['q'], Cl['qinv_f'])
+        res = ntt.modmatmul(Cl['inv_chunks_crt'], evals, Cl['q'], Cl['qinv_f'])
         acc, sig, er = crt.crt_partials(res, Cl['fast_crt'], Cl['q'],
-                                        Cl['qinv_f'])
+                                        Cl['qinv_f'], prescaled=True)
         acc, sig, er = jax.lax.psum((acc, sig, er), self.limb)
         return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
 

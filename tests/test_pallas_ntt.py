@@ -32,3 +32,16 @@ def test_pallas_matches_einsum(m, p, g):
             inv_t, jnp.asarray(want, jnp.int32), dev.q, dev.qinv_f,
             tile_o=128, tile_b=2))
     assert np.array_equal(back, res)
+
+    # raw-digit variant: in-kernel Barrett of values < 2^24 broadcast
+    # across the prime axis (the ByteDecomp digit path)
+    digs = rng.integers(0, 1 << 24, (5, ctx.phim))
+    dres = np.stack([digs % int(q) for q in ctx.primes], axis=1)
+    want_raw = np.asarray(ntt.modmatmul(dev.fwd_chunks,
+                                        jnp.asarray(dres, jnp.int32),
+                                        dev.q, dev.qinv_f))
+    with pltpu.force_tpu_interpret_mode():
+        got_raw = np.asarray(pallas_ntt.modmatmul_pallas_raw(
+            fwd_t, jnp.asarray(digs, jnp.int32), dev.q, dev.qinv_f,
+            tile_o=128, tile_b=2))
+    assert np.array_equal(got_raw, want_raw)

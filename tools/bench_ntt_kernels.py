@@ -74,15 +74,36 @@ def main():
          rng.integers(0, 1 << 20, (1536, 13, 2002)).astype(np.int32) % np.asarray(ctx.primes)[ctx.ksw_rows][None, :, None],
          (K['fwd_chunks'], K['q'], K['qinv_f']), 1536 * 13),
     ]
+    from fhe_si_tpu.ops import pallas_ntt
     for label, x_np, tables, n_t in shapes:
         time_one(f"einsum {label}", ntt.modmatmul, x_np, tables, n_t)
+        tt = (jnp.swapaxes(tables[0], -1, -2),) + tables[1:]
+        for tb, to in ((128, 256), (256, 256), (256, 512), (512, 256)):
+            try:
+                time_one(f"pallas b{tb} o{to} {label}",
+                         lambda c, x, q, i, tb=tb, to=to:
+                         pallas_ntt.modmatmul_pallas(c, x, q, i, tile_o=to,
+                                                     tile_b=tb),
+                         x_np, tt, n_t)
+            except Exception as e:
+                print(f"pallas b{tb} o{to} {label}: FAILED "
+                      f"{type(e).__name__}", flush=True)
+
+    # raw-digit path: [1536, 2002] int32 digits < 2^24, broadcast over the
+    # 13 subset primes in-kernel (vs einsum on materialized residues)
+    digs = rng.integers(0, 1 << 24, (1536, 2002)).astype(np.int32)
+    ktab = (jnp.swapaxes(K['fwd_chunks'], -1, -2), K['q'], K['qinv_f'])
+    for tb, to in ((128, 256), (256, 256), (256, 512)):
         try:
-            from fhe_si_tpu.ops import pallas_ntt
-            tt = (jnp.swapaxes(tables[0], -1, -2),) + tables[1:]
-            time_one(f"pallas {label}", pallas_ntt.modmatmul_pallas,
-                     x_np, tt, n_t)
+            def raw(c, x, q, i, tb=tb, to=to):
+                y = pallas_ntt.modmatmul_pallas_raw(c, x, q, i, tile_o=to,
+                                                    tile_b=tb)
+                return jnp.max(y, axis=-2)  # back to x's shape for chaining
+            time_one(f"pallas-raw b{tb} o{to} digit [1536,2002]x13",
+                     raw, digs, ktab, 1536 * 13)
         except Exception as e:
-            print(f"pallas {label}: FAILED {type(e).__name__}: {e}", flush=True)
+            print(f"pallas-raw b{tb} o{to}: FAILED {type(e).__name__}",
+                  flush=True)
 
 
 if __name__ == "__main__":
