@@ -165,6 +165,15 @@ class FheContext:
         # Full width covers CRT-reconstructed centered values |x| < P/2
         # plus the *2p headroom of the decrypt rounding (FHE-SI.cpp:113-117).
         self.n_limbs = (self.prime_product.bit_length() + 24) // LIMB_BITS + 2
+        # Ciphertext width: persistent parts hold values mod 2^logQ (two's
+        # complement, |v| <= q after one un-reduced add), so they only need
+        # ceil((logQ+1)/16) limbs — ~2.6x narrower than the reconstruction
+        # width at production scale.  Every mod-2^logQ op (add, mul_small,
+        # byte_decomp, reduce) is exact at ANY width with 16n >= logQ+1
+        # because 2^logQ | 2^(16n); only the exact-integer paths (CRT
+        # reconstruction, ScaleDown/decrypt rounding, unreduced automorph)
+        # carry wider per-basis widths (fast_crt_tables 'n_rec').
+        self.n_limbs_ct = (log_q + LIMB_BITS) // LIMB_BITS
 
         # ---- plaintext space ----
         self._init_plaintext_space()
@@ -394,7 +403,11 @@ class FheContext:
         qs = [int(q) for q in self.primes[:L]]
         mr = int(self.primes[self.num_primes - 1])
         P = math.prod(qs)
-        n = self.n_limbs
+        # Per-basis reconstruction width: covers S = sum c_l*B_l < L*P
+        # (the mr factor gives > L headroom), the w*P subtraction, and the
+        # *2p + q decrypt-rounding headroom (same budget shape as n_limbs,
+        # which this reproduces exactly for the full basis).
+        n = ((P * mr).bit_length() + 24) // LIMB_BITS + 2
         binv = np.zeros(L_all, dtype=np.int64)
         Bmodr = np.zeros(L_all, dtype=np.int64)
         B = np.zeros((L_all, n), dtype=np.int32)
@@ -412,6 +425,7 @@ class FheContext:
             P_limbs=int_to_limbs(P, n),
             P_limbs_sh10=int_to_limbs(P << 10, n),
             mr=mr, Pinv_r=numbth.modinv(P % mr, mr),
+            n_rec=n,
         )
 
     @cached_property

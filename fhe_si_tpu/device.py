@@ -62,6 +62,7 @@ class DeviceContext:
         self.phim = ctx.phim
         self.L = ctx.num_primes
         self.n = ctx.n_limbs
+        self.n_ct = ctx.n_limbs_ct      # persistent ciphertext-part width
         self.log_q = ctx.log_q
         self.digit_bits = ctx.digit_bits
         self.ndigits = ctx.ndigits
@@ -125,7 +126,6 @@ class DeviceContext:
                     jnp.take(inv_chunks_dev, rows_dev, axis=1),
                     fast_crt_np, q_np),
                 chunk_tbl=as32(rt['chunk_tbl'][:, rows]),
-                wrap=as32(rt['wrap'][rows][:, None]),
                 fast_crt=fast_crt_dev(fast_crt_np))
 
         ksw_tables = subset_tables(ctx.ksw_rows, ctx.ksw_fast_crt_tables)
@@ -151,6 +151,10 @@ class DeviceContext:
             lin=lin_tables,
             chunk_tbl=as32(rt['chunk_tbl']),
             wrap=as32(rt['wrap'][:, None]),
+            # sign-correction wrap for ciphertext-width (n_ct) inputs; the
+            # jit pipelines compute these as trace-time constants, but the
+            # shard_map pipelines need it as a limb-SHARDED table
+            wrap_ct=as32(self._wrap_np(ctx.primes, self.n_ct)[:, None]),
             p_chunk_tbl=as32(rt['p_chunk_tbl']),
             q_limbs=jnp.asarray(int_to_limbs(ctx.q, ctx.n_limbs)),
             q_over_p=jnp.asarray(ctx.q_over_p_limbs),
@@ -204,6 +208,26 @@ class DeviceContext:
     def q_limbs(self):
         return self.C['q_limbs']
 
+    # ----------------------------------------------------- width constants
+    # from_poly's sign correction needs 2^(16*n_in) mod q_l for the STATIC
+    # input limb width n_in.  The widths are known at trace time, so these
+    # are computed host-side and embedded as tiny [rows, 1] HLO constants —
+    # no table plumbing per width.
+    @staticmethod
+    def _wrap_np(primes_np, n: int) -> np.ndarray:
+        return np.array([pow(2, 16 * n, int(q)) for q in primes_np],
+                        dtype=np.int64)
+
+    def _lin_primes_np(self) -> np.ndarray:
+        """Static primes of the linear-op basis (= _lin_tables rows)."""
+        if self.C['lin'] is None:
+            return self.ctx.primes
+        return self.ctx.primes[self.ctx.lin_rows]
+
+    def _wrap_const(self, primes_np, n: int):
+        return jnp.asarray(self._wrap_np(primes_np, n)[:, None],
+                           dtype=jnp.int32)
+
     # ----------------------------------------------------------- primitives
     # (pure functions of (C, ...); public eager wrappers below)
     @cached_property
@@ -229,7 +253,7 @@ class DeviceContext:
         return dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
                     fwd_chunks=C['fwd_chunks'],
                     inv_chunks=C['inv_chunks_crt'],
-                    chunk_tbl=C['chunk_tbl'], wrap=C['wrap'],
+                    chunk_tbl=C['chunk_tbl'],
                     fast_crt=C['fast_crt'])
 
     def _ksw_tables(self, C):
@@ -243,15 +267,18 @@ class DeviceContext:
         return C['lin'] if C['lin'] is not None else self._full_as_subset(C)
 
     def _from_poly_sub(self, T, poly_limbs):
-        res = crt.limbs_to_residues(poly_limbs, T['chunk_tbl'], T['wrap'],
+        # _from_poly_sub is only ever called on the LINEAR basis (decrypt,
+        # automorph, mul_const, rotate-reduce), so the static wrap constant
+        # comes from _lin_primes_np at the input's trace-time width.
+        wrap = self._wrap_const(self._lin_primes_np(), poly_limbs.shape[-1])
+        res = crt.limbs_to_residues(poly_limbs, T['chunk_tbl'], wrap,
                                     T['q'], T['qinv_f'])
         return self._ntt_raw(T['fwd_chunks'], res, T['q'], T['qinv_f'])
 
     def _to_poly_sub(self, T, evals):
         res = self._ntt_raw(T['inv_chunks'], evals, T['q'], T['qinv_f'])
         return crt.residues_to_limbs_fast(res, T['fast_crt'], T['q'],
-                                          T['qinv_f'], self.n,
-                                          prescaled=True)
+                                          T['qinv_f'], prescaled=True)
 
     @staticmethod
     def _gather_rows(T, evals_full, axis=-2):
@@ -262,22 +289,26 @@ class DeviceContext:
         return jnp.take(evals_full, T['rows'], axis=axis)
 
     def _from_poly(self, C, poly_limbs):
-        res = crt.limbs_to_residues(poly_limbs, C['chunk_tbl'], C['wrap'],
+        wrap = self._wrap_const(self.ctx.primes, poly_limbs.shape[-1])
+        res = crt.limbs_to_residues(poly_limbs, C['chunk_tbl'], wrap,
                                     C['q'], C['qinv_f'])
         return self._ntt(C, 'fwd_chunks', res)
 
     def _to_poly(self, C, evals):
         res = self._ntt(C, 'inv_chunks_crt', evals)
         return crt.residues_to_limbs_fast(res, C['fast_crt'], C['q'],
-                                          C['qinv_f'], self.n,
-                                          prescaled=True)
+                                          C['qinv_f'], prescaled=True)
 
     def _small_to_evals(self, C, coeffs):
         res = coeffs[..., None, :] % C['q']
         return self._ntt(C, 'fwd_chunks', res)
 
     def _reduce_signed(self, C, limbs_arr):
-        return lb.reduce_mod_q(limbs_arr, self.log_q, False, C['q_limbs'])
+        """Signed Reduce mod 2^logQ, emitted at the narrow ciphertext
+        width (n_ct): the representative lies in [-q/2, q/2), so the
+        wide reconstruction limbs above logQ are dead weight."""
+        return lb.reduce_mod_q(limbs_arr, self.log_q, False, C['q_limbs'],
+                               out_width=self.n_ct)
 
     # public eager versions (used by tools/tests; jit-free)
     def ntt_fwd(self, x):
@@ -319,8 +350,9 @@ class DeviceContext:
             modular.mod_mul(pk_sub, r_evals[None], T['q'], T['qinv_f']),
             e_evals, T['q'])
         parts = self._to_poly_sub(T, ct_evals)
-        scaled = lb.scale_coeffs_by_bigint(msg, C['q_over_p'],
-                                           C['q_over_p_sh10'])
+        nw = parts.shape[-1]     # lin-basis recon width; q/p << 2^(16*nw)
+        scaled = lb.scale_coeffs_by_bigint(msg, C['q_over_p'][..., :nw],
+                                           C['q_over_p_sh10'][..., :nw])
         parts = parts.at[0].set(lb.add(parts[0], scaled))
         return self._reduce_signed(C, parts)
 
@@ -344,10 +376,12 @@ class DeviceContext:
         for i in range(1, prod.shape[0]):
             acc = modular.mod_add(acc, prod[i], T['q'])
         d = self._to_poly_sub(T, acc)
+        nw = d.shape[-1]          # lin recon width; *2p headroom budgeted
         y = lb.mul_small(d, 2 * self.p)
-        y = lb.add(y, jnp.broadcast_to(C['q_limbs'], y.shape))
+        y = lb.add(y, jnp.broadcast_to(C['q_limbs'][..., :nw], y.shape))
         y = lb.arith_shift_right(y, self.log_q + 1)
-        return crt.limbs_to_mod_small(y, C['p_chunk_tbl'], self.p_wrap,
+        p_wrap = jnp.int32(pow(2, 16 * nw, self.ctx.p))
+        return crt.limbs_to_mod_small(y, C['p_chunk_tbl'], p_wrap,
                                       self.p, self.pinv_f)
 
     @cached_property
@@ -446,8 +480,7 @@ class DeviceContext:
                               axis=1)
         res = self._ntt_raw(K['inv_chunks'], acc, K['q'], K['qinv_f'])
         limbs = crt.residues_to_limbs_fast(res, K['fast_crt'], K['q'],
-                                           K['qinv_f'], self.n,
-                                           prescaled=True)
+                                           K['qinv_f'], prescaled=True)
         return self._reduce_signed(C, limbs)
 
     @cached_property

@@ -28,15 +28,17 @@ CMASK = (1 << CHUNK) - 1
 def limbs_to_residues(poly, chunk_tbl, wrap, q, qinv_f):
     """[..., phim, n] limbs -> [..., L, phim] residues.
 
-    chunk_tbl: int32 [4n, L] with tbl[c, l] = 2^(4c) mod q_l
-    wrap:      int32 [L, 1]   2^(16n) mod q_l (sign correction)
+    chunk_tbl: int32 [>=4n, L] with tbl[c, l] = 2^(4c) mod q_l (a wider
+               table is sliced to the input width)
+    wrap:      int32 [L, 1]   2^(16n) mod q_l for THIS n (sign correction)
     Partial sums stay int32-exact: 15 * 2^20 * 4n < 2^31 for n <= 34.
     """
     n = poly.shape[-1]
     assert 15 * (1 << 20) * 4 * n < (1 << 31), "limb width too large for one pass"
+    assert chunk_tbl.shape[0] >= 4 * n, "chunk table narrower than input"
     chunks = jnp.stack([(poly >> (CHUNK * i)) & CMASK for i in range(4)], axis=-1)
     chunks = chunks.reshape(*poly.shape[:-1], 4 * n)
-    raw = jnp.einsum('...xc,cl->...lx', chunks, chunk_tbl,
+    raw = jnp.einsum('...xc,cl->...lx', chunks, chunk_tbl[:4 * n],
                      preferred_element_type=jnp.int32)
     sign = lb.is_negative(poly)[..., None, :]  # [..., 1, phim]
     raw = raw - sign * wrap
@@ -44,11 +46,14 @@ def limbs_to_residues(poly, chunk_tbl, wrap, q, qinv_f):
 
 
 def limbs_to_mod_small(poly, p_chunk_tbl, p_wrap, p, pinv_f):
-    """[..., phim, n] limbs -> [..., phim] values mod small p (decrypt tail)."""
+    """[..., phim, n] limbs -> [..., phim] values mod small p (decrypt tail).
+
+    p_wrap must be 2^(16n) mod p for THIS input width n."""
     n = poly.shape[-1]
+    assert p_chunk_tbl.shape[0] >= 4 * n, "chunk table narrower than input"
     chunks = jnp.stack([(poly >> (CHUNK * i)) & CMASK for i in range(4)], axis=-1)
     chunks = chunks.reshape(*poly.shape[:-1], 4 * n)
-    raw = jnp.einsum('...xc,c->...x', chunks, p_chunk_tbl,
+    raw = jnp.einsum('...xc,c->...x', chunks, p_chunk_tbl[:4 * n],
                      preferred_element_type=jnp.int32)
     raw = raw - lb.is_negative(poly) * p_wrap
     return barrett(raw, p, pinv_f)
@@ -128,17 +133,19 @@ def crt_finish(acc, sig_raw, er, t, n_limbs: int):
     return out
 
 
-def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int,
+def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int | None = None,
                            prescaled: bool = False):
     """Single-pass CRT reconstruction via the redundant modulus
     (context.fast_crt_tables): no serial Garner scan — O(L) parallel
     elementwise work plus one small exact correction.  Returns the
-    centered signed value E as two's complement limbs.
+    centered signed value E as two's complement limbs at the BASIS width
+    (t['B'].shape[-1] — per-basis 'n_rec', context._fast_crt_for).
 
     res: [..., L, phim] with the LAST row tracking E mod m_r.
     """
     acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled)
-    return crt_finish(acc, sig_raw, er, t, n_limbs)
+    return crt_finish(acc, sig_raw, er, t,
+                      n_limbs if n_limbs is not None else t['B'].shape[-1])
 
 
 def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int):

@@ -51,29 +51,51 @@ def is_negative(a):
     return (a[..., -1] >> (LIMB_BITS - 1)) & 1
 
 
-def reduce_mod_q(a, log_q: int, positive: bool, q_limbs):
+def reduce_mod_q(a, log_q: int, positive: bool, q_limbs, out_width: int | None = None):
     """Reduce semantics (Util.cpp:3-26) on limbs.
 
     positive: a mod 2^logQ in [0, q)  — pure masking.
     signed:   then map [q/2, q) down by q (two's complement subtract).
-    q_limbs: limbs of 2^logQ (context constant), same width as a.
+    q_limbs: limbs of 2^logQ (context constant), width >= needed.
+    out_width: emit this many limbs (default: input width).  Any width
+    with 16*out_width > logQ is exact — the masked value has < logQ bits
+    and the signed representative [-q/2, q/2) fits two's complement.
     """
     n = a.shape[-1]
+    nw = out_width if out_width is not None else n
+    assert LIMB_BITS * nw > log_q, "out_width too narrow for logQ"
+    assert LIMB_BITS * n >= log_q, "input too narrow to mask logQ bits"
     hi_limb, hi_bits = divmod(log_q, LIMB_BITS)
     masked = []
-    for k in range(n):
-        if k < hi_limb:
+    for k in range(nw):
+        if k < hi_limb and k < n:
             masked.append(a[..., k])
-        elif k == hi_limb and hi_bits:
+        elif k == hi_limb and hi_bits and k < n:
             masked.append(a[..., k] & ((1 << hi_bits) - 1))
         else:
-            masked.append(jnp.zeros_like(a[..., k]))
+            masked.append(jnp.zeros_like(a[..., 0]))
     m = jnp.stack(masked, axis=-1)
     if positive:
         return m
     sb_limb, sb_off = divmod(log_q - 1, LIMB_BITS)
     sign = (m[..., sb_limb] >> sb_off) & 1
-    return normalize(m - sign[..., None] * q_limbs)
+    return normalize(m - sign[..., None] * q_limbs[..., :nw])
+
+
+def match_width(a, n: int):
+    """Sign-extend (or truncate) two's complement limbs to width n.
+
+    Truncation is value-preserving only when the value fits n limbs
+    signed; extension always is.
+    """
+    cur = a.shape[-1]
+    if cur == n:
+        return a
+    if cur > n:
+        return a[..., :n]
+    fill = (0 - is_negative(a)) & LIMB_MASK        # 0x0000 / 0xffff
+    ext = jnp.broadcast_to(fill[..., None], a.shape[:-1] + (n - cur,))
+    return jnp.concatenate([a, ext], axis=-1)
 
 
 def arith_shift_right(a, shift: int):

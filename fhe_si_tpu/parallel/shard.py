@@ -56,6 +56,7 @@ def table_specs(limb: str = 'limb'):
             mr=P(), mrinv_f=P(), Pinv_r=P()),
         chunk_tbl=P(None, limb),
         wrap=L_,
+        wrap_ct=L_,
         p_chunk_tbl=P(None),
         q_limbs=P(None),
         q_over_p=P(None),
@@ -93,8 +94,11 @@ class ShardedPipelines:
         return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
 
     def _from_poly(self, Cl, poly_limbs):
-        res = crt.limbs_to_residues(poly_limbs, Cl['chunk_tbl'], Cl['wrap'],
-                                    Cl['q'], Cl['qinv_f'])
+        """Ciphertext-width (n_ct) limbs -> local residue rows (the sharded
+        wrap table matches that width)."""
+        assert poly_limbs.shape[-1] == self.dev.n_ct
+        res = crt.limbs_to_residues(poly_limbs, Cl['chunk_tbl'],
+                                    Cl['wrap_ct'], Cl['q'], Cl['qinv_f'])
         return ntt.modmatmul(Cl['fwd_chunks'], res, Cl['q'], Cl['qinv_f'])
 
     def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
@@ -117,7 +121,8 @@ class ShardedPipelines:
         y = lb.shift_left(x, 1)
         y = lb.add(y, jnp.broadcast_to(Cl['q_limbs'], y.shape))
         y = lb.arith_shift_right(y, dev.log_q + 1)
-        parts = lb.reduce_mod_q(y, dev.log_q, False, Cl['q_limbs'])
+        parts = lb.reduce_mod_q(y, dev.log_q, False, Cl['q_limbs'],
+                                out_width=dev.n_ct)
 
         # ByteDecomp + digit NTTs (FHE-SI.cpp:241-260): digits replicated,
         # residues/NTT local per prime shard
@@ -130,7 +135,8 @@ class ShardedPipelines:
         acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
                               axis=1)
         out = self._to_poly_psum(Cl, acc)
-        return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'])
+        return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'],
+                               out_width=dev.n_ct)
 
     # ------------------------------------------------------------ public ops
     def batched_mul_relin(self):
@@ -163,7 +169,8 @@ class ShardedPipelines:
             local = jnp.sum(out, axis=0)
             total = jax.lax.psum(local, dp)
             return lb.reduce_mod_q(lb.normalize(total), self.dev.log_q,
-                                   False, Cl['q_limbs'])
+                                   False, Cl['q_limbs'],
+                                   out_width=self.dev.n_ct)
 
         sm = jax.shard_map(
             step, mesh=self.mesh,

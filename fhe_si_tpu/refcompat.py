@@ -123,9 +123,11 @@ def poly_to_dcrt(coeffs: list[int], ref: refserial.RefContext,
 def import_ciphertext(buf: bytes, ctx: FheContext) -> scheme.Ciphertext:
     parts = refserial.read_ciphertext(buf)
     from .context import ints_to_limbs
+    # reference coefficients are in [0, q) (Reduce-positive before export);
+    # they fit the narrow ciphertext width as nonnegative two's complement
     arr = np.stack([
         ints_to_limbs((part + [0] * (ctx.phim - len(part)))[:ctx.phim],
-                      ctx.n_limbs)
+                      ctx.n_limbs_ct)
         for part in parts])
     return scheme.Ciphertext(ctx, parts=jnp.asarray(arr))
 
@@ -143,7 +145,11 @@ def import_secret_key(buf: bytes, ref: refserial.RefContext,
     for d in dcrts:
         poly = dcrt_to_poly(d, ref, ctx)
         from .context import ints_to_limbs
-        limbs = jnp.asarray(ints_to_limbs(poly, ctx.n_limbs))
+        # centered values from the reference basis can exceed the narrow
+        # ct width; size the limbs to the actual coefficients
+        need = max((abs(v).bit_length() for v in poly), default=1) + 2
+        nw = min(max(ctx.n_limbs_ct, (need + 15) // 16), ctx.n_limbs)
+        limbs = jnp.asarray(ints_to_limbs(poly, nw))
         evals.append(dev.from_poly(limbs))
     return scheme.FheSecretKey(ctx, jnp.stack(evals))
 

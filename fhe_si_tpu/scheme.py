@@ -129,7 +129,7 @@ def keygen(ctx: FheContext,
     if isinstance(rnd, sampling.RandomSource):
         rnd = sampling.sample_keygen(rnd, ctx.phim, ctx.stdev, ctx.log_q, HWT)
     dev = device_context(ctx)
-    c1_limbs = jnp.asarray(ints_to_limbs(rnd.c1, ctx.n_limbs))
+    c1_limbs = jnp.asarray(ints_to_limbs(rnd.c1, ctx.n_limbs_ct))
     sk_evals, pk_evals, pk_limbs = dev.keygen_op(
         jnp.asarray(rnd.s, dtype=jnp.int32),
         jnp.asarray(rnd.c0, dtype=jnp.int32), c1_limbs)
@@ -154,7 +154,7 @@ class KeySwitch:
                                             n_src, ctx.ndigits)
         dev = device_context(ctx)
         A_limbs = jnp.asarray(np.stack(
-            [ints_to_limbs(poly, ctx.n_limbs) for poly in rnd.A]))
+            [ints_to_limbs(poly, ctx.n_limbs_ct) for poly in rnd.A]))
         e = jnp.asarray(np.stack(rnd.e), dtype=jnp.int32)
         matrix = dev.keyswitch_init_op(src_sk_evals, dst.sk_evals[1], A_limbs, e)
         return cls(ctx, matrix)
@@ -320,7 +320,7 @@ class Ciphertext:
         if isinstance(other, Plaintext):
             scaled = np.stack([
                 int_to_limbs((int(c) << self.ctx.log_q) // self.ctx.p,
-                             self.ctx.n_limbs)
+                             self.ctx.n_limbs_ct)
                 for c in other.message])
             scaled = jnp.asarray(scaled)
             if self.scaled_up:
@@ -339,12 +339,24 @@ class Ciphertext:
             if tail.shape[0]:
                 out = jnp.concatenate([out, tail])
             return Ciphertext(self.ctx, tprod=out)
+        from .ops import limbs as lb
         a, b = self.parts, other.parts
+        if a.shape[-1] != b.shape[-1]:
+            # width-ragged operands (e.g. an unreduced automorph output):
+            # sign-extend the narrower one — value-preserving, and add_op
+            # reduces mod 2^logQ anyway
+            nw = max(a.shape[-1], b.shape[-1])
+            a, b = lb.match_width(a, nw), lb.match_width(b, nw)
         k = min(a.shape[0], b.shape[0])
         out = dev.add_op(a[:k], b[:k])
         tail = a[k:] if a.shape[0] > k else b[k:]
         if tail.shape[0]:
-            out = jnp.concatenate([out, tail])
+            # the reference COPIES the unpaired tail part unreduced
+            # (Ciphertext.cpp:123-145); sign-extend the summed rows to the
+            # tail's width instead of touching the tail's value
+            nw = max(out.shape[-1], tail.shape[-1])
+            out = jnp.concatenate([lb.match_width(out, nw),
+                                   lb.match_width(tail, nw)])
         return Ciphertext(self.ctx, parts=out)
 
     # -- multiplication (Ciphertext.cpp:167-262)

@@ -105,3 +105,27 @@ def test_homomorphic_ops_parity(setup):
     r_o = oracle.apply_keyswitch(ksw_o, t_o)
     assert _parts(r_d) == r_o.parts
     assert list(kd[0].decrypt(r_d).message) == oracle.decrypt(ko[0], r_o)
+
+
+def test_part_limb_widths(setup):
+    """Persistent ciphertext parts carry the narrow n_ct width; automorph
+    outputs stay unreduced at the linear-basis reconstruction width
+    (Ciphertext.cpp:54-59 semantics); width-ragged adds stay bit-exact
+    against the oracle."""
+    ctx, srcs, kd, ko = setup
+    n_ct = ctx.n_limbs_ct
+    msg = srcs[0].uniform_mod_p(ctx.phim, ctx.p)
+    srcs[1].uniform_mod_p(ctx.phim, ctx.p)
+    c_d, c_o = _encrypt_pair(ctx, srcs, kd, ko, msg)
+    assert c_d.parts.shape[-1] == n_ct
+
+    rot_d = c_d.automorph(ctx.generator)
+    rot_o = oracle.automorph(c_o, ctx.generator)
+    assert rot_d.parts.shape[-1] > n_ct          # exact, un-reduced
+    assert _parts(rot_d) == rot_o.parts
+
+    # width-ragged add: (rotated, wide) + (fresh, narrow)
+    s_d = rot_d + c_d
+    s_o = oracle.add(rot_o, c_o)
+    assert s_d.parts.shape[-1] == n_ct           # add reduces mod 2^logQ
+    assert _parts(s_d) == s_o.parts

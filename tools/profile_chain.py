@@ -106,7 +106,7 @@ def main():
                    x, C['fast_crt'], C['q'], C['qinv_f'], dev.n), tp)
     chain_time("limbs_to_res 2-part",
                lambda C, x: crt.limbs_to_residues(
-                   x, C['chunk_tbl'], C['wrap'], C['q'], C['qinv_f']), a)
+                   x, C['chunk_tbl'], C['wrap_ct'], C['q'], C['qinv_f']), a)
     chain_time("byte_decomp 3-part",
                lambda C, x: lb.byte_decomp(x, dev.log_q, dev.digit_bits,
                                            dev.ndigits, C['q_limbs']), pr)
@@ -117,9 +117,11 @@ def main():
                                     dev.ndigits, C['q_limbs']),
                      -1, 2).reshape(batch, -1, ctx.phim)[:, :, None, :],
         K['q'], K['qinv_f'])
+    # K passed as an ARGUMENT: closed-over device tables lower to HLO
+    # constants and blow past the remote compiler's payload limit
     chain_time("digit fwd NTT (24xK rows)",
-               lambda C, x: dev._ntt_raw(K['fwd_chunks'], x, K['q'],
-                                         K['qinv_f']), dig_res)
+               lambda C, x, Kt: dev._ntt_raw(Kt['fwd_chunks'], x, Kt['q'],
+                                             Kt['qinv_f']), dig_res, (K,))
 
 
 if __name__ == "__main__":
