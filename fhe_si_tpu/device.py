@@ -224,6 +224,12 @@ class DeviceContext:
             return self.ctx.primes
         return self.ctx.primes[self.ctx.lin_rows]
 
+    def _ksw_primes_np(self) -> np.ndarray:
+        """Static primes of the keyswitch basis (= _ksw_tables rows)."""
+        if self.C['ksw'] is None:
+            return self.ctx.primes
+        return self.ctx.primes[self.ctx.ksw_rows]
+
     def _wrap_const(self, primes_np, n: int):
         return jnp.asarray(self._wrap_np(primes_np, n)[:, None],
                            dtype=jnp.int32)
@@ -266,11 +272,14 @@ class DeviceContext:
         context.lin_value_primes)."""
         return C['lin'] if C['lin'] is not None else self._full_as_subset(C)
 
-    def _from_poly_sub(self, T, poly_limbs):
-        # _from_poly_sub is only ever called on the LINEAR basis (decrypt,
-        # automorph, mul_const, rotate-reduce), so the static wrap constant
-        # comes from _lin_primes_np at the input's trace-time width.
-        wrap = self._wrap_const(self._lin_primes_np(), poly_limbs.shape[-1])
+    def _from_poly_sub(self, T, poly_limbs, primes_np):
+        # The wrap constant's prime rows MUST match T's rows; the caller
+        # states the basis explicitly (pass _lin_primes_np() with
+        # _lin_tables(C), _ksw_primes_np() with _ksw_tables(C)) so a
+        # mismatched (T, wrap) pair is a visible bug, not a silent one.
+        assert len(primes_np) == T['q'].shape[0], \
+            "wrap-basis primes do not match the subset tables"
+        wrap = self._wrap_const(primes_np, poly_limbs.shape[-1])
         res = crt.limbs_to_residues(poly_limbs, T['chunk_tbl'], wrap,
                                     T['q'], T['qinv_f'])
         return self._ntt_raw(T['fwd_chunks'], res, T['q'], T['qinv_f'])
@@ -369,7 +378,7 @@ class DeviceContext:
         # linear subset basis: sum_i ct_i*sk_i (sk ternary HWt 64 powers)
         # reconstructs exactly there (FHE-SI.cpp:93-119 semantics)
         T = self._lin_tables(C)
-        part_evals = self._from_poly_sub(T, parts_limbs)
+        part_evals = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
         sk_sub = self._gather_rows(T, sk_evals)
         prod = modular.mod_mul(part_evals, sk_sub, T['q'], T['qinv_f'])
         acc = prod[0]
@@ -507,7 +516,7 @@ class DeviceContext:
     def _automorph_jit(self):
         def run(C, parts_limbs, perm):
             T = self._lin_tables(C)  # permutation: linear bound applies
-            ev = self._from_poly_sub(T, parts_limbs)
+            ev = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
             ev = jnp.take(ev, perm, axis=-1)
             return self._to_poly_sub(T, ev)  # exact, NOT reduced (Ciphertext.cpp:54-59)
         return self._wrap(run)
@@ -542,7 +551,7 @@ class DeviceContext:
     def mul_const_op(self):
         def run(C, parts_limbs, const_evals):
             T = self._lin_tables(C)  # constant coeffs < p: linear bound
-            ev = self._from_poly_sub(T, parts_limbs)
+            ev = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
             ev = modular.mod_mul(ev, self._gather_rows(T, const_evals)[None],
                                  T['q'], T['qinv_f'])
             return self._reduce_signed(C, self._to_poly_sub(T, ev))
@@ -635,7 +644,7 @@ class DeviceContext:
     def batched_rotate_reduce_stage_op(self):
         def one(C, parts, perm, matrix):
             T = self._lin_tables(C)
-            ev = self._from_poly_sub(T, parts)
+            ev = self._from_poly_sub(T, parts, self._lin_primes_np())
             ev = jnp.take(ev, perm, axis=-1)
             rotated = self._to_poly_sub(T, ev)
             switched = self._keyswitch_parts(C, rotated, matrix)

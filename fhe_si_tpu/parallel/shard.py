@@ -94,11 +94,26 @@ class ShardedPipelines:
         return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
 
     def _from_poly(self, Cl, poly_limbs):
-        """Ciphertext-width (n_ct) limbs -> local residue rows (the sharded
-        wrap table matches that width)."""
-        assert poly_limbs.shape[-1] == self.dev.n_ct
+        """Limb polys at ANY trace-time width -> local residue rows.
+
+        The sharded wrap table covers the canonical ciphertext width
+        (n_ct); wider inputs (e.g. pre-change serialized parts at the
+        full reconstruction width, or unreduced automorph outputs) get a
+        per-width wrap constant sliced to this shard's prime rows — the
+        same exact lift (NOT a re-reduction) the jit pipelines apply, so
+        results stay bit-identical across pipelines."""
+        nw = poly_limbs.shape[-1]
+        if nw == self.dev.n_ct:
+            wrap = Cl['wrap_ct']
+        else:
+            full = jnp.asarray(
+                self.dev._wrap_np(self.dev.ctx.primes, nw)[:, None],
+                dtype=jnp.int32)
+            rows = self.dev.L // self.mesh.shape[self.limb]
+            i = jax.lax.axis_index(self.limb)
+            wrap = jax.lax.dynamic_slice_in_dim(full, i * rows, rows, axis=0)
         res = crt.limbs_to_residues(poly_limbs, Cl['chunk_tbl'],
-                                    Cl['wrap_ct'], Cl['q'], Cl['qinv_f'])
+                                    wrap, Cl['q'], Cl['qinv_f'])
         return ntt.modmatmul(Cl['fwd_chunks'], res, Cl['q'], Cl['qinv_f'])
 
     def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
@@ -140,8 +155,10 @@ class ShardedPipelines:
 
     # ------------------------------------------------------------ public ops
     def batched_mul_relin(self):
-        """fn(a [B,ka,phim,n], b [B,kb,phim,n], matrix [2,K,L,phim]) ->
-        [B, 2, phim, n], batch sharded over 'dp', matrix over 'limb'."""
+        """fn(a [B,ka,phim,n_ct], b [B,kb,phim,n_ct], matrix [2,K,L,phim])
+        -> [B, 2, phim, n_ct], batch sharded over 'dp', matrix over
+        'limb'.  Wider inputs are accepted (lifted exactly, see
+        _from_poly); outputs are always emitted at n_ct."""
         dp, limb = self.dp, self.limb
 
         def step(Cl, a, b, matrix_local):
@@ -159,7 +176,7 @@ class ShardedPipelines:
     def mul_relin_block_reduce(self):
         """Same, plus the additive block-merge of Regression.h:102-149:
         sum over the whole batch, one psum over 'dp' of raw limb sums.
-        Returns fn(...) -> [2, phim, n] replicated."""
+        Returns fn(...) -> [2, phim, n_ct] replicated."""
         dp, limb = self.dp, self.limb
 
         def step(Cl, a, b, matrix_local):

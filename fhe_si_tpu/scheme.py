@@ -80,8 +80,13 @@ class FheSecretKey:
 
     def decrypt_batch(self, cts: list["Ciphertext"]) -> list[Plaintext]:
         """One fused device dispatch for many (2-part) decryptions."""
+        from .ops import limbs as lb
         dev = device_context(self.ctx)
-        parts = jnp.stack([ct.relinearized_view().parts[:2] for ct in cts])
+        ps = [ct.relinearized_view().parts[:2] for ct in cts]
+        # a batch may mix fresh (n_ct) and rotated/unreduced (wider)
+        # ciphertexts: sign-extend to the max width (value-preserving)
+        nw = max(p.shape[-1] for p in ps)
+        parts = jnp.stack([lb.match_width(p, nw) for p in ps])
         msgs = np.asarray(dev.batched_decrypt_op(parts, self.sk_evals[:2]))
         return [Plaintext(self.ctx, msgs[i]) for i in range(len(cts))]
 
@@ -318,16 +323,26 @@ class Ciphertext:
     def __add__(self, other):
         dev = device_context(self.ctx)
         if isinstance(other, Plaintext):
-            scaled = np.stack([
-                int_to_limbs((int(c) << self.ctx.log_q) // self.ctx.p,
-                             self.ctx.n_limbs_ct)
-                for c in other.message])
-            scaled = jnp.asarray(scaled)
             if self.scaled_up:
+                scaled = jnp.asarray(np.stack([
+                    int_to_limbs((int(c) << self.ctx.log_q) // self.ctx.p,
+                                 self.ctx.n_limbs_ct)
+                    for c in other.message]))
                 t0 = dev.add_const_tensored_op(self.tprod[0], scaled)
                 return Ciphertext(self.ctx,
                                   tprod=self.tprod.at[0].set(t0))
-            p0 = dev.add_const_op(self.parts[0], scaled)
+            # parts may be wider than n_ct (e.g. an unreduced automorph
+            # output, Ciphertext.cpp:147-161 AddConstant on unreduced
+            # parts is legal) — build the scaled constant at the parts'
+            # width, and sign-extend the reduced part 0 back to it
+            # (value-preserving: the reduced rep fits n_ct limbs signed).
+            # Matches oracle.add_const: only part 0 is reduced.
+            from .ops import limbs as lb
+            nw = self.parts.shape[-1]
+            scaled = jnp.asarray(np.stack([
+                int_to_limbs((int(c) << self.ctx.log_q) // self.ctx.p, nw)
+                for c in other.message]))
+            p0 = lb.match_width(dev.add_const_op(self.parts[0], scaled), nw)
             return Ciphertext(self.ctx, parts=self.parts.at[0].set(p0))
         assert self.scaled_up == other.scaled_up, \
             "cannot add tensored to non-tensored ciphertext"

@@ -129,3 +129,18 @@ def test_part_limb_widths(setup):
     s_o = oracle.add(rot_o, c_o)
     assert s_d.parts.shape[-1] == n_ct           # add reduces mod 2^logQ
     assert _parts(s_d) == s_o.parts
+
+    # width-ragged Plaintext add: unreduced automorph output + constant
+    # (Ciphertext.cpp:147-161 AddConstant on unreduced parts is legal)
+    cv = srcs[0].uniform_mod_p(ctx.phim, ctx.p)
+    srcs[1].uniform_mod_p(ctx.phim, ctx.p)
+    pa_d = rot_d + scheme.Plaintext(ctx, cv)
+    pa_o = oracle.add_const(rot_o, cv)
+    assert pa_d.parts.shape[-1] == rot_d.parts.shape[-1]  # tail stays wide
+    assert _parts(pa_d) == pa_o.parts
+
+    # width-ragged decrypt_batch: fresh (narrow) + rotated (wide) in one
+    # fused dispatch must agree with per-ciphertext decrypts
+    singles = [kd[0].decrypt(c_d).message, kd[0].decrypt(rot_d).message]
+    batch = kd[0].decrypt_batch([c_d, rot_d])
+    assert [list(b.message) for b in batch] == [list(s) for s in singles]
