@@ -2,8 +2,15 @@
 with ciphertext mul, const add/mul, slot rotation with automorph keyswitch,
 negation — checked against Plaintext arithmetic.
 
-usage: python -m fhe_si_tpu.cli.test_general [p g logQ] [seed]
+usage: python -m fhe_si_tpu.cli.test_general [p g logQ] [seed] [--m=M]
 (defaults: p=2027 g=3 logQ=120, the reference's hardcoded parameters)
+
+--m=M overrides the ring index (default m = p-1).  When ord_m(p) > 1 the
+plaintext slots are GF(p^d) extension fields (PlaintextSpace.cpp:28-59);
+messages are then random per-slot CONSTANTS, the regime in which slot
+rotation by the ciphertext automorphism and Plaintext::operator>>= agree
+(base-field values are Frobenius-fixed) — the same regime the reference's
+own FindSlots exercises (PlaintextSpace.cpp:69-83 embeds integers).
 """
 import sys
 import time
@@ -15,12 +22,20 @@ from ..context import FheContext
 
 
 def main(argv):
+    m_override = None
+    pos = []
+    for a in argv[1:]:
+        if a.startswith("--m="):
+            m_override = int(a.split("=", 1)[1])
+        else:
+            pos.append(a)
     p, g, log_q = (2027, 3, 120)
-    if len(argv) >= 4:
-        p, g, log_q = int(argv[1]), int(argv[2]), int(argv[3])
-    seed = int(argv[4]) if len(argv) > 4 else int(time.time())
+    if len(pos) >= 3:
+        p, g, log_q = int(pos[0]), int(pos[1]), int(pos[2])
+    seed = int(pos[3]) if len(pos) > 3 else int(time.time())
 
-    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g)
+    ctx = FheContext(m=m_override if m_override else p - 1, log_q=log_q,
+                     p=p, generator=g)
     src = sampling.RandomSource(seed)
 
     sk, pk = scheme.keygen(ctx, src)
@@ -31,10 +46,16 @@ def main(argv):
     rot_deg = pow(g, rot_amt, ctx.m)
     auto_ksw = scheme.KeySwitch.for_automorph(sk, rot_deg, src)
 
-    ptxts = [scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
-             for _ in range(4)]
-    const1 = scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
-    const2 = scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
+    if ctx.slot_degree > 1:
+        def rand_pt():
+            return scheme.Plaintext.from_slots(
+                ctx, src.uniform_mod_p(ctx.total_slots, p), only_usable=False)
+    else:
+        def rand_pt():
+            return scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
+    ptxts = [rand_pt() for _ in range(4)]
+    const1 = rand_pt()
+    const2 = rand_pt()
 
     c = [pk.encrypt(pt, src) for pt in ptxts]
     p0, p1, p2, p3 = ptxts

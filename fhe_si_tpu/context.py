@@ -184,18 +184,30 @@ class FheContext:
     def _init_plaintext_space(self):
         """Slot structure of Z[X]/(Phi_m, p)  (PlaintextSpace.cpp:22-110).
 
-        Currently requires m | p-1 (all shipped reference configs use
-        m = p-1), so Phi_m splits into linear factors X - zeta_j mod p and
-        each slot is Z_p.  Slot order is the generator cycle
-        zeta_j = zeta^(g^j), which makes the automorphism X -> X^g a cyclic
-        slot shift — the same property the reference establishes with its
-        Frobenius-map reordering (PlaintextSpace.cpp:69-110).
+        Two regimes, split on d = ord_m(p) (the common degree of the
+        irreducible factors of Phi_m mod p):
+
+        d == 1 (m | p-1, all shipped reference configs): Phi_m splits into
+        linear factors X - zeta_j and each slot is Z_p.  Slot order is the
+        generator cycle zeta_j = zeta^(g^j), which makes the automorphism
+        X -> X^g a cyclic slot shift — the same property the reference
+        establishes with its Frobenius-map reordering
+        (PlaintextSpace.cpp:69-110).  Fast dense-matrix construction.
+
+        d > 1 (extension-field slots): Phi_m factors into phim/d
+        irreducible degree-d factors (SFCanZass analog in hostmath/gf.py)
+        and each slot is GF(p^d) — slot values are degree-<d coefficient
+        vectors mod p.  CRT coefficients follow PlaintextSpace.cpp:44-51;
+        slots are ordered by the g-coset cycle so automorph-by-g is still
+        a cyclic slot shift.
         """
         m, p, g = self.m, self.p, self.generator
+        if math.gcd(p, m) != 1:
+            raise ValueError(f"p={p} and m={m} must be coprime")
         if (p - 1) % m != 0:
-            raise NotImplementedError(
-                "PlaintextSpace with extension-field slots (ord_m(p) > 1) is not "
-                "implemented; all reference configs use m | p-1")
+            self._init_plaintext_space_ext()
+            return
+        self.slot_degree = 1
         self.total_slots = self.phim
         # usableSlots = largest power of two <= totalSlots (PlaintextSpace.cpp:37-42)
         self.usable_slots = 1 << (self.total_slots.bit_length() - 1)
@@ -248,25 +260,104 @@ class FheContext:
                 E[d, j] = quot[d] * inv % p
         self.embed_matrix = E
 
+    def _init_plaintext_space_ext(self):
+        """Extension-field slots (ord_m(p) = d > 1): factor Phi_m mod p by
+        cosets of <p>, build crtCoeffs per degree-d factor and the slot
+        embed/decode linear maps.
+
+        Matches PlaintextSpace::Init (PlaintextSpace.cpp:22-59):
+        crtCoeff_j = (Phi/f_j) * InvMod((Phi/f_j) mod f_j, f_j); embed is
+        sum_j crtCoeff_j * msg_j mod Phi (PlaintextSpace.cpp:112-121,
+        msg_j a degree-<d poly); decode slot j is msg mod f_j
+        (PlaintextSpace.cpp:123-134)."""
+        from .hostmath import gf
+        m, p, g = self.m, self.p, self.generator
+        d, slot_exps, factors = gf.cyclotomic_slot_factors(m, p, g)
+        S = self.phim // d
+        self.slot_degree = d
+        self.total_slots = S
+        # usableSlots = largest power of two <= totalSlots (PlaintextSpace.cpp:37-42)
+        self.usable_slots = 1 << (S.bit_length() - 1)
+        self.slot_exponents = np.array(slot_exps, dtype=np.int64)
+        self.slot_factors = np.array(factors, dtype=np.int64)   # [S, d+1]
+
+        phi_mod_p = [c % p for c in self.phim_x]
+        phim = self.phim
+
+        def reduce_mod_phi(a: list[int]) -> list[int]:
+            """a mod (Phi_m, p); Phi monic so no inversions needed."""
+            a = list(a)
+            for i in range(len(a) - 1, phim - 1, -1):
+                c = a[i]
+                if c:
+                    for k in range(phim + 1):
+                        a[i - phim + k] = (a[i - phim + k] - c * phi_mod_p[k]) % p
+            return a[:phim]
+
+        # E[:, j, e] = coeffs of (crtCoeff_j * X^e) mod Phi
+        E = np.zeros((phim, S, d), dtype=np.int64)
+        # Dt[j, :, c] = coeffs of X^c mod f_j
+        Dt = np.zeros((S, d, phim), dtype=np.int64)
+        for j in range(S):
+            f_j = factors[j]
+            quot, rem = gf.pdivmod(phi_mod_p, f_j, p)
+            assert not rem, "slot factor does not divide Phi_m mod p"
+            te = gf.pmod(quot, f_j, p)
+            inv = gf.pinv_mod(te, f_j, p)
+            crt = gf.pmul(quot, inv, p)          # degree <= phim-1
+            col = crt + [0] * (phim - len(crt))
+            for e in range(d):
+                E[:, j, e] = col
+                col = reduce_mod_phi([0] + col)  # * X, re-reduce
+            cur = [0] * d
+            cur[0] = 1
+            for c in range(phim):
+                Dt[j, :, c] = cur
+                top = cur[d - 1]
+                cur = [0] + cur[:d - 1]
+                if top:
+                    for k in range(d):
+                        cur[k] = (cur[k] - top * f_j[k]) % p
+        self.embed_matrix = E.reshape(phim, S * d)
+        self.decode_tensors = Dt
+
     def embed_in_slots(self, values, only_usable: bool = True) -> np.ndarray:
         """Pack per-slot values mod p into a plaintext polynomial.
 
         Mirrors PlaintextSpace::EmbedInSlots (PlaintextSpace.cpp:112-121):
         slots beyond len(values) are zero; with only_usable, slots past
-        usable_slots are zero as well.
+        usable_slots are zero as well.  With extension-field slots
+        (slot_degree d > 1) each value may be a scalar (a GF(p) constant)
+        or a length-<=d coefficient vector (an element of GF(p^d)).
         """
         limit = self.usable_slots if only_usable else self.total_slots
-        vals = np.zeros(self.total_slots, dtype=np.int64)
-        use = min(len(values), limit)
-        vals[:use] = np.asarray(values[:use], dtype=np.int64) % self.p
-        return (self.embed_matrix @ vals) % self.p
+        d = self.slot_degree
+        arr = np.asarray(values, dtype=np.int64)
+        if d == 1 and arr.ndim <= 1:
+            vals = np.zeros(self.total_slots, dtype=np.int64)
+            use = min(len(arr), limit)
+            vals[:use] = arr[:use] % self.p
+            return (self.embed_matrix @ vals) % self.p
+        vals = np.zeros((self.total_slots, d), dtype=np.int64)
+        use = min(len(arr), limit)
+        if arr.ndim == 1:                      # per-slot constants
+            vals[:use, 0] = arr[:use] % self.p
+        else:
+            vals[:use, :arr.shape[1]] = arr[:use] % self.p
+        return (self.embed_matrix @ vals.reshape(-1)) % self.p
 
     def decode_slots(self, poly_mod_p) -> np.ndarray:
-        """Evaluate a plaintext polynomial at every slot root (DecodeSlots,
-        PlaintextSpace.cpp:123-134)."""
+        """Decode every slot (DecodeSlots, PlaintextSpace.cpp:123-134).
+
+        slot_degree == 1: evaluate at every slot root; returns [S].
+        slot_degree d > 1: remainder mod each factor; returns [S, d]."""
         coeffs = np.zeros(self.phim, dtype=np.int64)
         arr = np.asarray(poly_mod_p, dtype=np.int64) % self.p
         coeffs[:len(arr)] = arr
+        if self.slot_degree > 1:
+            # entries < p, coeffs < p: exact while p^2*phim < 2^62
+            assert self.p * self.p * self.phim < (1 << 62)
+            return np.einsum('sdc,c->sd', self.decode_tensors, coeffs) % self.p
         # D @ coeffs with int64-safe blocking: entries < p^2 * phim.
         if self.p * self.p * self.phim < (1 << 62):
             return (self.decode_matrix @ coeffs) % self.p

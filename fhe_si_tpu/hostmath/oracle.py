@@ -408,7 +408,10 @@ def plaintext_mul(ctx: FheContext, a, b) -> np.ndarray:
 
 def plaintext_rotate(ctx: FheContext, a, k: int) -> np.ndarray:
     """Plaintext::operator>>= (Plaintext.h:88-97): new[j] = old[(j+k) % n]
-    over all totalSlots."""
+    over all totalSlots.  With extension-field slots the decoded slot
+    values are [S, d] coefficient vectors; they move wholesale (the
+    reference decodes/reorders/re-embeds the remainder polynomials the
+    same way)."""
     slots = ctx.decode_slots(a)
-    rotated = np.roll(slots, -k)
+    rotated = np.roll(slots, -k, axis=0)
     return ctx.embed_in_slots(rotated, only_usable=False)
