@@ -238,9 +238,14 @@ class DeviceContext:
     # (pure functions of (C, ...); public eager wrappers below)
     @cached_property
     def use_pallas_ntt(self) -> bool:
+        # "1": opt in at production shapes; "force": any shape (parity
+        # tests exercise the full scheme pipeline through the kernel in
+        # interpret mode on CPU).  The kernel consumes the SAME
+        # chunk-table layout as the einsum path (ops/pallas_ntt.py), so
+        # flipping the flag changes no table.
         import os
-        return (os.environ.get("FHE_SI_TPU_PALLAS_NTT") == "1"
-                and self.phim >= 256)
+        v = os.environ.get("FHE_SI_TPU_PALLAS_NTT")
+        return v == "force" or (v == "1" and self.phim >= 256)
 
     def _ntt_raw(self, chunks, x, q, qinv_f):
         if self.use_pallas_ntt:
@@ -466,11 +471,21 @@ class DeviceContext:
 
     def _digit_evals(self, C, parts_limbs):
         """Digit residues + NTTs over the keyswitch subset basis (the
-        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes)."""
+        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes).
+
+        Pallas path: the raw-digit kernel takes the [K, phim] digits
+        directly and Barrett-reduces per prime IN VMEM, so the
+        [K, L, phim] residue tensor of this stage never exists in HBM
+        (the dominant avoidable-traffic site of the keyswitch,
+        FHE-SI.cpp:241-260 cost model)."""
         K = self._ksw_tables(C)
         digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
                               self.ndigits, C['q_limbs'])
         digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
+        if self.use_pallas_ntt:
+            from .ops import pallas_ntt
+            return pallas_ntt.modmatmul_pallas_raw(
+                K['fwd_chunks'], digs, K['q'], K['qinv_f'])
         res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
         return self._ntt_raw(K['fwd_chunks'], res, K['q'], K['qinv_f'])
 

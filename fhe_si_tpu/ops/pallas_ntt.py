@@ -11,8 +11,11 @@ Layout and tiling:
   grid = (prime l, output tile o, batch tile b) — b innermost, so the
   (l, o) table block stays VMEM-resident across the batch sweep and the
   full table stack is fetched exactly once per call.
-  Tables are PRE-TRANSPOSED to [N_PLANES, L, n_in, n_out] (the MXU's
-  natural rhs layout; ntt.chunk_matrix emits [P, L, n_out, n_in]).
+  Tables are consumed in ntt.chunk_matrix's NATIVE [P, L, n_out, n_in]
+  layout: the MXU dot contracts x's last axis against the table's last
+  axis (an A @ B^T dot_general), so the einsum path and this kernel share
+  one copy of the planes and the device.py flag path needs no transposed
+  duplicates (the round-2 wiring bug was exactly such a mismatch).
 
 The einsum path (ops/ntt.py) remains the reference implementation and
 the fallback for small shapes; parity is asserted by
@@ -59,8 +62,9 @@ def _kernel(q_ref, qinv_ref, c_ref, x_ref, o_ref):
     d02 = (xcs[0].astype(jnp.int32) + xcs[2]).astype(jnp.int8)
 
     def mm(plane, vec):
+        # contract last-vs-last: table block is [TO, Ni] (native layout)
         return jax.lax.dot_general(
-            vec, c_ref[plane, 0], (((1,), (0,)), ((), ())),
+            vec, c_ref[plane, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)            # [TB, TO]
 
     p00, p11, p22 = mm(0, xcs[0]), mm(1, xcs[1]), mm(2, xcs[2])
@@ -96,7 +100,7 @@ def _kernel_raw(q_ref, qinv_ref, c_ref, x_ref, o_ref):
 
     def mm(plane, vec):
         return jax.lax.dot_general(
-            vec, c_ref[plane, 0], (((1,), (0,)), ((), ())),
+            vec, c_ref[plane, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
 
     p00, p11, p22 = mm(0, xcs[0]), mm(1, xcs[1]), mm(2, xcs[2])
@@ -110,24 +114,25 @@ def _kernel_raw(q_ref, qinv_ref, c_ref, x_ref, o_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_o", "tile_b"))
-def modmatmul_pallas_raw(mat_chunks_t, x, q, qinv_f,
+def modmatmul_pallas_raw(mat_chunks, x, q, qinv_f,
                          tile_o: int = TILE_O, tile_b: int = TILE_B):
     """NTT of raw int32 rows broadcast across all L primes.
 
-    mat_chunks_t: int8 [N_PLANES, L, Ni, No]; x: int32 [..., Ni] with
-    |x| < min(q) * 2^20 (ByteDecomp digits qualify); q/qinv_f: [L, 1].
+    mat_chunks: int8 [N_PLANES, L, No, Ni] (ntt.chunk_matrix layout);
+    x: int32 [..., Ni] with |x| < min(q) * 2^20 (ByteDecomp digits
+    qualify); q/qinv_f: [L, 1].
     Returns int32 [..., L, No] — residues of (mat @ (x mod q_l)) mod q_l.
     """
     *lead, Ni = x.shape
-    L = mat_chunks_t.shape[1]
-    No = mat_chunks_t.shape[3]
+    L = mat_chunks.shape[1]
+    No = mat_chunks.shape[2]
     xb = x.reshape(-1, Ni)
     B = xb.shape[0]
     pad_o = (-No) % tile_o
     pad_b = (-B) % tile_b
-    mc = mat_chunks_t
+    mc = mat_chunks
     if pad_o:
-        mc = jnp.pad(mc, ((0, 0), (0, 0), (0, 0), (0, pad_o)))
+        mc = jnp.pad(mc, ((0, 0), (0, 0), (0, pad_o), (0, 0)))
     if pad_b:
         xb = jnp.pad(xb, ((0, pad_b), (0, 0)))
     no_pad, b_pad = No + pad_o, B + pad_b
@@ -141,7 +146,7 @@ def modmatmul_pallas_raw(mat_chunks_t, x, q, qinv_f,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((L, 1), lambda l, o, b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_PLANES, 1, Ni, tile_o), lambda l, o, b: (0, l, 0, o),
+            pl.BlockSpec((N_PLANES, 1, tile_o, Ni), lambda l, o, b: (0, l, o, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_b, Ni), lambda l, o, b: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -155,23 +160,24 @@ def modmatmul_pallas_raw(mat_chunks_t, x, q, qinv_f,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_o", "tile_b"))
-def modmatmul_pallas(mat_chunks_t, x, q, qinv_f,
+def modmatmul_pallas(mat_chunks, x, q, qinv_f,
                      tile_o: int = TILE_O, tile_b: int = TILE_B):
-    """Drop-in for ntt.modmatmul on large shapes (TRANSPOSED tables).
+    """Drop-in for ntt.modmatmul on large shapes (same table layout).
 
-    mat_chunks_t: int8 [N_PLANES, L, Ni, No] (= chunk_matrix output with
-                  the last two axes swapped); x: int32 [..., L, Ni];
-    q/qinv_f: [L, 1].  Returns int32 [..., L, No].
+    mat_chunks: int8 [N_PLANES, L, No, Ni] — ntt.chunk_matrix output,
+                shared verbatim with the einsum path; x: int32
+                [..., L, Ni]; q/qinv_f: [L, 1].
+    Returns int32 [..., L, No].
     """
     *lead, L, Ni = x.shape
-    No = mat_chunks_t.shape[3]
+    No = mat_chunks.shape[2]
     xb = jnp.moveaxis(x.reshape(-1, L, Ni), 1, 0)  # [L, B, Ni]
     B = xb.shape[1]
     pad_o = (-No) % tile_o
     pad_b = (-B) % tile_b
-    mc = mat_chunks_t
+    mc = mat_chunks
     if pad_o:
-        mc = jnp.pad(mc, ((0, 0), (0, 0), (0, 0), (0, pad_o)))
+        mc = jnp.pad(mc, ((0, 0), (0, 0), (0, pad_o), (0, 0)))
     if pad_b:
         xb = jnp.pad(xb, ((0, 0), (0, pad_b), (0, 0)))
     no_pad, b_pad = No + pad_o, B + pad_b
@@ -185,7 +191,7 @@ def modmatmul_pallas(mat_chunks_t, x, q, qinv_f,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((L, 1), lambda l, o, b: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_PLANES, 1, Ni, tile_o), lambda l, o, b: (0, l, 0, o),
+            pl.BlockSpec((N_PLANES, 1, tile_o, Ni), lambda l, o, b: (0, l, o, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_b, Ni), lambda l, o, b: (l, b, 0),
                          memory_space=pltpu.VMEM),

@@ -77,7 +77,7 @@ def main():
     from fhe_si_tpu.ops import pallas_ntt
     for label, x_np, tables, n_t in shapes:
         time_one(f"einsum {label}", ntt.modmatmul, x_np, tables, n_t)
-        tt = (jnp.swapaxes(tables[0], -1, -2),) + tables[1:]
+        tt = tables  # kernel consumes the native chunk layout now
         for tb, to in ((128, 256), (256, 256), (256, 512), (512, 256)):
             try:
                 time_one(f"pallas b{tb} o{to} {label}",
@@ -92,7 +92,7 @@ def main():
     # raw-digit path: [1536, 2002] int32 digits < 2^24, broadcast over the
     # 13 subset primes in-kernel (vs einsum on materialized residues)
     digs = rng.integers(0, 1 << 24, (1536, 2002)).astype(np.int32)
-    ktab = (jnp.swapaxes(K['fwd_chunks'], -1, -2), K['q'], K['qinv_f'])
+    ktab = (K['fwd_chunks'], K['q'], K['qinv_f'])
     for tb, to in ((128, 256), (256, 256), (256, 512)):
         try:
             def raw(c, x, q, i, tb=tb, to=to):
