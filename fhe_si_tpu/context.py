@@ -43,6 +43,20 @@ LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 PRIME_MAX_BITS = 20  # chain primes < 2^20: 10-bit split modmul stays int32-exact
 
+# Worst-case part count any key-switch matrix may carry (relinearization
+# uses 3: the tensored key (1, s, s^2), FHE-SI.cpp:211-227; automorph
+# uses 2).  Enforced at KeySwitch build/apply time, and the keyswitch
+# subset basis (ksw_value_primes) is provisioned for exactly this cap —
+# a larger matrix would breach the derived exactness bound, so it is
+# rejected, never silently corrupted.
+MAX_KSW_PARTS = 4
+
+# Structural bound on every Gaussian sample: sampling.gaussian_poly clamps
+# the Box-Muller radius at r2 >= 1e-300, so |sample| <= sqrt(-2*ln 1e-300)
+# * stdev + 1 < 37.2*stdev + 1.  (NumbTh.cpp:387-402 has the same shape;
+# NTL's PRG cannot produce r2 = 0 either.)
+GAUSS_BOUND_FACTOR = 38
+
 
 def int_to_limbs(x: int, n: int) -> np.ndarray:
     """x mod 2^(16n) as n little-endian 16-bit limbs (two's complement)."""
@@ -177,6 +191,9 @@ class FheContext:
 
         # ---- plaintext space ----
         self._init_plaintext_space()
+
+        # derived exactness bounds must hold on the provisioned chain
+        self._check_chain_budget()
 
         self._automorph_perms: dict[int, np.ndarray] = {}
 
@@ -525,27 +542,116 @@ class FheContext:
         redundant last chain prime)."""
         return self._fast_crt_for(self.num_primes - 1)
 
-    # ------------------------------------------------- keyswitch prime subset
+    # ----------------------------------------------- exact reduction growth
     @cached_property
-    def ksw_value_primes(self) -> int:
-        """Number of leading chain primes needed for the keyswitch digit
-        dot product to reconstruct exactly — usually far fewer than the
-        tensor-product chain.
+    def reduction_growth(self) -> dict:
+        """Exact worst-case coefficient-growth factors of reduction
+        mod Phi_m over Z — the quantities every subset-basis bound below
+        is derived from (they replace round-2's '8*phim*xi with a factor
+        4 of headroom' heuristic allowances).
 
-        ApplyKeySwitch (FHE-SI.cpp:241-260) computes V = sum_k d_k * M_k
-        mod Phi_m over Z with digits d_k in [0, 2^digit_bits) and matrix
-        entries |M_k| <= q/2.  Exact integer bound (convolution length
-        phim, reduction-growth allowance 8*phim*xi — the same allowance
-        structure SetUpSIContext budgets for the tensor product,
-        FHEContext.cpp:83-85, with an extra factor 4 of headroom):
+        Let rowZ(k) = integer coefficients of X^k mod Phi_m (computed
+        iteratively like ntt_tables' reduction matrix, but over Z; note
+        X^m = 1 mod Phi_m, so rowZ is m-periodic and rowZ(k) for k < phim
+        is the monomial itself).
 
-            |V| <= K_cap * (2^digit_bits - 1) * (q/2) * phim * 8*phim*xi
+          G  = 1 + max_c sum_{k=phim}^{2*phim-2} |rowZ(k)[c]|
+               For ANY integer polynomial A of degree <= 2*phim-2 with
+               |A[i]| <= B (every polynomial product of two degree<phim
+               operands, after summing part pairs):
+                   |(A mod Phi_m)[c]| <= B * G.
+          H  = max_{k < m} max_c |rowZ(k)[c]|
+               Per-monomial growth: for the automorphism x(X) -> x(X^g),
+               |(x(X^g) mod Phi_m)[c]| <= (sum_i |x_i|) * H
+               <= phim * max|x_i| * H.
+          RM = max_{k < m} sum_c |rowZ(k)[c]|
+               Mass growth (used for secret-key powers: mass(a*b mod Phi)
+               <= mass(a)*mass(b)*RM).
 
-        with K_cap = 16*ndigits covering any realistic part count.  The
-        subset basis must satisfy prod > 2*|V|max (centered values)."""
-        K_cap = 16 * self.ndigits
-        bound = (K_cap * ((1 << self.digit_bits) - 1) * (self.q // 2)
-                 * self.phim * 8 * self.phim * max(self.xi, 1))
+        For the cyclotomics this library ships (m prime, m = 2*prime,
+        power-of-two m) every rowZ coefficient is in {-1, 0, 1} and
+        G <= 3 — but the values are COMPUTED per context, not assumed.
+        """
+        m, phim = self.m, self.phim
+        if m == phim + 1:          # m prime: X^phim = -(1+X+...+X^(phim-1))
+            # closed form avoids the dense row sweep; rowZ(k<phim) = X^k
+            colsum = np.ones(phim, dtype=np.int64)       # the X^phim row
+            # rows k in [m, 2*phim-1) are monomials X^(k-m), adding 1 each
+            for k in range(m, 2 * phim - 1):
+                colsum[k - m] += 1
+            return dict(G=1 + int(colsum.max()), H=1, RM=phim)
+        n_rows = m - phim
+        rows = np.zeros((n_rows, phim), dtype=np.int64)
+        cur = np.array([-int(c) for c in self.phim_x[:phim]], dtype=np.int64)
+        rows[0] = cur
+        for r in range(1, n_rows):
+            top = cur[phim - 1]
+            cur = np.roll(cur, 1)
+            cur[0] = 0
+            cur = cur + top * rows[0]
+            assert np.abs(cur).max() < (1 << 40), \
+                "reduction rows grew beyond the int64 safety margin"
+            rows[r] = cur
+        colsum = np.zeros(phim, dtype=np.int64)
+        for k in range(phim, 2 * phim - 1):
+            kk = k % m
+            if kk < phim:
+                colsum[kk] += 1
+            else:
+                colsum += np.abs(rows[kk - phim])
+        G = 1 + int(colsum.max())
+        H = max(1, int(np.abs(rows).max()))
+        RM = max(1, int(np.abs(rows).sum(axis=1).max()))
+        return dict(G=G, H=H, RM=RM)
+
+    @cached_property
+    def exact_bounds(self) -> dict:
+        """Derived worst-case |coefficient| bounds for every exact-integer
+        reconstruction site (full derivation: docs/ARCHITECTURE.md).
+        All bounds assume the library-wide invariant that persistent
+        n_limbs_ct-width ciphertext parts hold reduce_signed
+        representatives in [-q/2, q/2) — every internal producer emits
+        exactly that, and decrypt re-reduces wider inputs first.
+
+          ksw:  V = sum_{k<K} M_k(X) * D_k(X) mod Phi_m with K <=
+                MAX_KSW_PARTS * ndigits rows, |M| <= q/2 (reduce_signed
+                matrix rows), D in [0, 2^digit_bits)  (FHE-SI.cpp:241-260)
+          enc:  pk_i*r + p*e_i: r binary (mass <= phim), |pk| <= q/2,
+                |e| <= B_e, the error poly has degree < phim (no
+                reduction)  (FHE-SI.cpp:10-36)
+          dec:  ct_0 + ct_1*s: s ternary with HWt 64 (mass 64)
+                (FHE-SI.cpp:93-119)
+          auto: x(X^k) mod Phi_m of an n_ct-width part  (DoubleCRT.cpp:439-465)
+          mulc: x * const mod Phi_m, const coeffs < p  (Ciphertext.cpp:233-262)
+          tens: one tensor product sum_{i+j=c} (p*a_i)*b_j, 2x2 parts
+                (<= 2 pairs per output part)  (Ciphertext.cpp:167-192)
+          auto_wide / mulc_wide: the same ops applied to an UNREDUCED
+                automorph output (value bound 2x the auto bound, covering
+                interleaved constant adds) — these route to the full
+                chain, asserted in _check_chain_budget.
+        """
+        g = self.reduction_growth
+        G, H = g['G'], g['H']
+        q_half = self.q // 2
+        B_e = GAUSS_BOUND_FACTOR * self.stdev + 1
+        B_e = int(B_e) + 1
+        ksw = (MAX_KSW_PARTS * self.ndigits * self.phim * q_half
+               * ((1 << self.digit_bits) - 1) * G)
+        enc = self.phim * q_half * G + self.p * B_e
+        dec = q_half * (1 + 64 * G)
+        auto = self.phim * q_half * H
+        mulc = self.phim * q_half * (self.p - 1) * G
+        tens = 2 * self.phim * self.p * q_half * q_half * G
+        wide = 2 * auto                      # unreduced automorph output
+        return dict(ksw=ksw, enc=enc, dec=dec, auto=auto, mulc=mulc,
+                    tens=tens,
+                    auto_wide=self.phim * wide * H,
+                    mulc_wide=self.phim * wide * (self.p - 1) * G,
+                    B_e=B_e)
+
+    def _subset_size_for(self, bound: int) -> int:
+        """Leading value primes whose product exceeds 2*bound (centered
+        CRT representatives need P > 2*|V|max)."""
         need = 2 * bound
         prod, k = 1, 0
         for q in self.primes[:self.num_primes - 1]:
@@ -553,7 +659,35 @@ class FheContext:
                 break
             prod *= int(q)
             k += 1
+        if prod <= need:
+            raise ValueError(
+                f"prime chain too short for derived bound {bound:.3g} "
+                "(chain provisioning bug)")
         return k
+
+    def _check_chain_budget(self):
+        """Assert the full chain covers every derived full-chain bound
+        (the reference's SetUpSIContext provisioning, FHEContext.cpp:83-85,
+        always does at realistic parameters — but now it is CHECKED, not
+        assumed).  xi is the reference's additive-workload headroom
+        (max(nBlocks, dim), Test_Regression.cpp:105): up to xi tensored
+        ciphertexts may be accumulated before a ScaleDown."""
+        b = self.exact_bounds
+        need = 2 * max(b['tens'] * max(self.xi, 1),
+                       b['auto_wide'], b['mulc_wide'])
+        if self.crt_product <= need:
+            raise ValueError(
+                "prime chain product does not cover the derived "
+                f"worst-case bound ({need:.3g}); increase xi/logQ headroom")
+
+    # ------------------------------------------------- keyswitch prime subset
+    @cached_property
+    def ksw_value_primes(self) -> int:
+        """Number of leading chain primes needed for the keyswitch digit
+        dot product to reconstruct exactly (derived bound exact_bounds
+        ['ksw']; the part cap MAX_KSW_PARTS is enforced at KeySwitch
+        build/apply) — usually far fewer than the tensor-product chain."""
+        return self._subset_size_for(self.exact_bounds['ksw'])
 
     @cached_property
     def ksw_rows(self) -> np.ndarray:
@@ -571,27 +705,17 @@ class FheContext:
     @cached_property
     def lin_value_primes(self) -> int:
         """Leading chain primes needed by the 'linear' scheme ops — the
-        ones that lift, take ONE product against a small-mass operand, and
-        immediately reconstruct: encrypt (pk*r, r binary), decrypt
-        (sum ct_i*sk_i, sk ternary HWt 64 / s^2 with |coeffs| <= 64),
-        automorph round trips (permutation only), multiply-by-constant
-        (constant coeffs < p).  Exact bound with the same reduction-growth
-        allowance as the tensor budget:
-
-            |V| <= phim * (q/2) * F * 8*phim*xi,   F = max(p, 3*64)
-
-        (F covers the worst small-mass factor: the constant mod p, or up
-        to 3 parts against |s^k| <= 64.)  Subset needs prod > 2*|V|max."""
-        F = max(self.p, 3 * 64)
-        bound = self.phim * (self.q // 2) * F * 8 * self.phim * max(self.xi, 1)
-        need = 2 * bound
-        prod, k = 1, 0
-        for q in self.primes[:self.num_primes - 1]:
-            if prod > need:
-                break
-            prod *= int(q)
-            k += 1
-        return k
+        ones that lift n_ct-width (reduce_signed) parts, take ONE product
+        against a small-mass operand, and immediately reconstruct:
+        encrypt, decrypt, automorph, multiply-by-constant.  The bound is
+        the max of the derived per-op bounds (exact_bounds; derivation in
+        docs/ARCHITECTURE.md).  WIDE inputs (unreduced automorph outputs)
+        do not ride this basis: decrypt re-reduces them (provably
+        output-invariant) and automorph/mul_const route them to the full
+        chain (budget asserted at build)."""
+        b = self.exact_bounds
+        return self._subset_size_for(max(b['enc'], b['dec'], b['auto'],
+                                         b['mulc']))
 
     @cached_property
     def lin_rows(self) -> np.ndarray:

@@ -277,6 +277,17 @@ class DeviceContext:
         context.lin_value_primes)."""
         return C['lin'] if C['lin'] is not None else self._full_as_subset(C)
 
+    def _lin_tables_for_width(self, C, width: int):
+        """Linear-op tables for an input of the given (trace-time) limb
+        width.  n_ct-width parts are reduce_signed representatives and
+        ride the lin subset (bound context.exact_bounds['auto'/'mulc']);
+        WIDER parts are unreduced exact intermediates (one automorph hop,
+        bound 'auto_wide'/'mulc_wide') and ride the full chain, whose
+        coverage context._check_chain_budget asserts at build."""
+        if width <= self.n_ct:
+            return self._lin_tables(C), self._lin_primes_np()
+        return self._full_as_subset(C), self.ctx.primes
+
     def _from_poly_sub(self, T, poly_limbs, primes_np):
         # The wrap constant's prime rows MUST match T's rows; the caller
         # states the basis explicitly (pass _lin_primes_np() with
@@ -381,7 +392,14 @@ class DeviceContext:
 
     def _decrypt(self, C, parts_limbs, sk_evals):
         # linear subset basis: sum_i ct_i*sk_i (sk ternary HWt 64 powers)
-        # reconstructs exactly there (FHE-SI.cpp:93-119 semantics)
+        # reconstructs exactly there (FHE-SI.cpp:93-119 semantics).
+        # Wider-than-n_ct inputs (unreduced automorph outputs) are
+        # re-reduced first: the decrypt rounding floor((2p*d + q)/2q) mod p
+        # is invariant under d -> d + t*q (the quotient shifts by exactly
+        # t*p), so the output is unchanged and the derived lin-basis bound
+        # (context.exact_bounds['dec'], |ct| <= q/2) applies.
+        if parts_limbs.shape[-1] > self.n_ct:
+            parts_limbs = self._reduce_signed(C, parts_limbs)
         T = self._lin_tables(C)
         part_evals = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
         sk_sub = self._gather_rows(T, sk_evals)
@@ -478,6 +496,11 @@ class DeviceContext:
         [K, L, phim] residue tensor of this stage never exists in HBM
         (the dominant avoidable-traffic site of the keyswitch,
         FHE-SI.cpp:241-260 cost model)."""
+        from .context import MAX_KSW_PARTS
+        assert parts_limbs.shape[0] <= MAX_KSW_PARTS, (
+            f"keyswitching {parts_limbs.shape[0]} parts exceeds the "
+            f"MAX_KSW_PARTS={MAX_KSW_PARTS} cap the subset basis is "
+            "provisioned for (context.exact_bounds['ksw'])")
         K = self._ksw_tables(C)
         digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
                               self.ndigits, C['q_limbs'])
@@ -530,8 +553,8 @@ class DeviceContext:
     @cached_property
     def _automorph_jit(self):
         def run(C, parts_limbs, perm):
-            T = self._lin_tables(C)  # permutation: linear bound applies
-            ev = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
+            T, primes = self._lin_tables_for_width(C, parts_limbs.shape[-1])
+            ev = self._from_poly_sub(T, parts_limbs, primes)
             ev = jnp.take(ev, perm, axis=-1)
             return self._to_poly_sub(T, ev)  # exact, NOT reduced (Ciphertext.cpp:54-59)
         return self._wrap(run)
@@ -565,8 +588,9 @@ class DeviceContext:
     @cached_property
     def mul_const_op(self):
         def run(C, parts_limbs, const_evals):
-            T = self._lin_tables(C)  # constant coeffs < p: linear bound
-            ev = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
+            # constant coeffs < p: exact_bounds['mulc'/'mulc_wide']
+            T, primes = self._lin_tables_for_width(C, parts_limbs.shape[-1])
+            ev = self._from_poly_sub(T, parts_limbs, primes)
             ev = modular.mod_mul(ev, self._gather_rows(T, const_evals)[None],
                                  T['q'], T['qinv_f'])
             return self._reduce_signed(C, self._to_poly_sub(T, ev))
@@ -658,8 +682,8 @@ class DeviceContext:
     @cached_property
     def batched_rotate_reduce_stage_op(self):
         def one(C, parts, perm, matrix):
-            T = self._lin_tables(C)
-            ev = self._from_poly_sub(T, parts, self._lin_primes_np())
+            T, primes = self._lin_tables_for_width(C, parts.shape[-1])
+            ev = self._from_poly_sub(T, parts, primes)
             ev = jnp.take(ev, perm, axis=-1)
             rotated = self._to_poly_sub(T, ev)
             switched = self._keyswitch_parts(C, rotated, matrix)

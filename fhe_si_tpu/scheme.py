@@ -154,6 +154,12 @@ class KeySwitch:
               rnd: sampling.KeySwitchRandomness | sampling.RandomSource) -> "KeySwitch":
         ctx = dst.ctx
         n_src = src_sk_evals.shape[0]
+        from .context import MAX_KSW_PARTS
+        if n_src > MAX_KSW_PARTS:
+            raise ValueError(
+                f"key-switch source key has {n_src} parts; the keyswitch "
+                f"subset basis is provisioned for MAX_KSW_PARTS="
+                f"{MAX_KSW_PARTS} (context.exact_bounds['ksw'])")
         if isinstance(rnd, sampling.RandomSource):
             rnd = sampling.sample_keyswitch(rnd, ctx.phim, ctx.stdev, ctx.log_q,
                                             n_src, ctx.ndigits)

@@ -177,14 +177,22 @@ def test_ntt_roundtrip_and_dft_oracle(ctx, dev):
     assert np.array_equal(back, res)
 
 
-def test_ksw_subset_basis_equals_full():
-    """The keyswitch subset basis (context.ksw_value_primes) must produce
-    bit-identical keyswitch outputs to the full chain: the dot product is
-    exact in both bases by the subset budget."""
+@pytest.mark.parametrize("m,log_q,p,g,xi", [
+    (22, 80, 23, 7, 1),
+    # adversarial: odd logQ (ragged top digit), p within 3 of the 2^20
+    # prime cap, xi > 1 — stresses every term of the derived bounds
+    (38, 113, 1048573, 3, 7),
+    # extension-field slots (ord_m(p) = d > 1) share the same bounds
+    (31, 96, 2, 3, 1),
+])
+def test_ksw_subset_basis_equals_full(m, log_q, p, g, xi):
+    """The keyswitch subset basis (context.ksw_value_primes, derived
+    bound exact_bounds['ksw']) must produce bit-identical keyswitch
+    outputs to the full chain: the dot product is exact in both bases."""
     from fhe_si_tpu import sampling, scheme
 
     def run(force_full: bool):
-        c = FheContext(m=22, log_q=80, p=23, generator=7)
+        c = FheContext(m=m, log_q=log_q, p=p, generator=g, xi=xi)
         if force_full:
             c.__dict__['ksw_value_primes'] = c.num_primes - 1
         src = sampling.RandomSource(31)
@@ -201,5 +209,42 @@ def test_ksw_subset_basis_equals_full():
     sub, cs = run(False)
     assert cf.ksw_value_primes == cf.num_primes - 1
     assert cs.ksw_value_primes < cs.num_primes - 1, \
-        "subset did not engage at the canonical config"
+        "subset did not engage at this config"
     assert np.array_equal(full, sub)
+
+
+def test_lin_subset_basis_equals_full():
+    """The linear-op subset basis (context.lin_value_primes, derived
+    bounds exact_bounds['enc'/'dec'/'auto'/'mulc']) must produce
+    bit-identical encrypt/decrypt/automorph/const-mul results to the
+    full chain."""
+    from fhe_si_tpu import sampling, scheme
+
+    def run(force_full: bool):
+        c = FheContext(m=22, log_q=80, p=23, generator=7)
+        if force_full:
+            c.__dict__['lin_value_primes'] = c.num_primes - 1
+        src = sampling.RandomSource(77)
+        sk, pk = scheme.keygen(c, src)
+        m1 = src.uniform_mod_p(c.phim, c.p)
+        cv = src.uniform_mod_p(c.phim, c.p)
+        c1 = pk.encrypt(scheme.Plaintext(c, m1), src)
+        rot = c1.automorph(c.generator)           # wide, full-chain route
+        mc = c1 * scheme.Plaintext(c, cv)
+        dec = sk.decrypt(rot)
+        return (np.asarray(c1.parts), np.asarray(rot.parts),
+                np.asarray(mc.parts), np.asarray(dec.message), c)
+
+    f_ct, f_rot, f_mc, f_dec, cf = run(True)
+    s_ct, s_rot, s_mc, s_dec, cs = run(False)
+    assert cf.lin_value_primes == cf.num_primes - 1
+    assert cs.lin_value_primes < cs.num_primes - 1
+    assert np.array_equal(f_ct, s_ct)
+    assert np.array_equal(f_mc, s_mc)
+    assert np.array_equal(f_dec, s_dec)
+    # the automorph output width differs by basis (it is the basis
+    # reconstruction width) but the VALUES are the same exact integers
+    from fhe_si_tpu.context import limbs_to_int as l2i
+    vf = [[l2i(f_rot[i, j]) for j in range(f_rot.shape[1])] for i in range(2)]
+    vs = [[l2i(s_rot[i, j]) for j in range(s_rot.shape[1])] for i in range(2)]
+    assert vf == vs
