@@ -137,6 +137,89 @@ def export_ciphertext(ct: scheme.Ciphertext) -> bytes:
     return refserial.write_ciphertext(ct.to_python_parts())
 
 
+def import_public_key(buf: bytes, ref: refserial.RefContext,
+                      ctx: FheContext) -> scheme.FhePublicKey:
+    """FHESIPubKey::Import (FHE-SI.cpp:72-78): vector<DoubleCRT> in the
+    reference basis -> FhePublicKey with exact re-basing.
+
+    The imported coefficients are re-reduced to the signed representative
+    in [-q/2, q/2) (the library invariant for n_ct-width parts).  Encrypt
+    outputs are unchanged by the representative choice: pk -> pk + t*q
+    shifts pk*r + p*e by t*q*r, which the final Reduce mod 2^logQ
+    erases exactly."""
+    from .context import ints_to_limbs
+    dcrts = refserial.read_key(buf)
+    dev = device_context(ctx)
+    q = ctx.q
+    rows = []
+    for d in dcrts:
+        poly = dcrt_to_poly(d, ref, ctx)
+        half = q // 2
+        red = [((v % q) - q if (v % q) >= half else (v % q)) for v in poly]
+        rows.append(ints_to_limbs(red, ctx.n_limbs_ct))
+    pk_limbs = jnp.asarray(np.stack(rows))
+    return scheme.FhePublicKey(ctx, dev.from_poly(pk_limbs), pk_limbs)
+
+
+def export_public_key(pk: scheme.FhePublicKey,
+                      ref: refserial.RefContext) -> bytes:
+    """FHESIPubKey::Export (FHE-SI.cpp:72-78) in the reference basis."""
+    ctx = pk.ctx
+    arr = np.asarray(pk.pk_limbs)
+    dcrts = []
+    for i in range(arr.shape[0]):
+        poly = _limbs_rows_to_ints(arr[i])
+        dcrts.append(poly_to_dcrt(poly, ref, ctx))
+    return refserial.write_key(dcrts)
+
+
+def import_keyswitch(buf: bytes, ref: refserial.RefContext,
+                     ctx: FheContext) -> scheme.KeySwitch:
+    """KeySwitchSI::Import (FHE-SI.cpp:270-276): the 2 x K matrix of
+    DoubleCRTs, re-based exactly and re-reduced to the signed
+    representative (the derived ksw bound assumes |M| <= q/2; keyswitch
+    outputs are invariant to the representative because the final Reduce
+    mod 2^logQ erases q-multiples of the digit dot)."""
+    from .context import MAX_KSW_PARTS, ints_to_limbs
+    rows = refserial.read_keyswitch(buf)
+    assert len(rows) == 2, "keyswitch matrix must have 2 rows"
+    K = len(rows[0])
+    if K > MAX_KSW_PARTS * ctx.ndigits:
+        raise ValueError(
+            f"imported keyswitch matrix has {K} columns; the subset basis "
+            f"is provisioned for MAX_KSW_PARTS={MAX_KSW_PARTS} parts "
+            f"({MAX_KSW_PARTS * ctx.ndigits} columns)")
+    dev = device_context(ctx)
+    q, half = ctx.q, ctx.q // 2
+    limbs = np.empty((2, K, ctx.phim, ctx.n_limbs_ct), dtype=np.int32)
+    for i in range(2):
+        for k in range(K):
+            poly = dcrt_to_poly(rows[i][k], ref, ctx)
+            red = [((v % q) - q if (v % q) >= half else (v % q))
+                   for v in poly]
+            limbs[i, k] = ints_to_limbs(red, ctx.n_limbs_ct)
+    matrix_evals = dev.from_poly(jnp.asarray(limbs))
+    return scheme.KeySwitch(ctx, matrix_evals)
+
+
+def export_keyswitch(ksw: scheme.KeySwitch,
+                     ref: refserial.RefContext) -> bytes:
+    """KeySwitchSI::Export (FHE-SI.cpp:270-276) in the reference basis.
+    Matrix entries are reduce_signed representatives (|v| <= q/2), so the
+    full-chain toPoly reconstruction is trivially exact."""
+    ctx = ksw.ctx
+    dev = device_context(ctx)
+    limbs = np.asarray(dev.to_poly(ksw.matrix_evals))
+    out = []
+    for i in range(limbs.shape[0]):
+        row = []
+        for k in range(limbs.shape[1]):
+            poly = _limbs_rows_to_ints(limbs[i, k])
+            row.append(poly_to_dcrt(poly, ref, ctx))
+        out.append(row)
+    return refserial.write_keyswitch(out)
+
+
 def import_secret_key(buf: bytes, ref: refserial.RefContext,
                       ctx: FheContext) -> scheme.FheSecretKey:
     dcrts = refserial.read_key(buf)

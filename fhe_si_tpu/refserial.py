@@ -124,12 +124,27 @@ class Writer:
         self.raw(mag.to_bytes(n, "little"))
 
     def zzx(self, coeffs):
-        coeffs = list(coeffs)
+        coeffs = [int(c) for c in coeffs]
         while coeffs and coeffs[-1] == 0:
             coeffs.pop()
         self.i32(len(coeffs) - 1)
+        if not coeffs:
+            return
+        lib = _native_lib()
+        stride = 64  # covers coefficients up to 512 bits
+        if lib is not None and all(-1 << 512 < c < 1 << 512 for c in coeffs):
+            n = len(coeffs)
+            mags = np.frombuffer(
+                b"".join(abs(c).to_bytes(stride, "little") for c in coeffs),
+                dtype=np.uint8).reshape(n, stride)
+            signs = np.array([c < 0 for c in coeffs], dtype=np.int8)
+            out = np.empty(n * (5 + stride), dtype=np.uint8)
+            w = lib.fsi_emit_zz_array(mags.ctypes.data, n, stride,
+                                      signs.ctypes.data, out.ctypes.data)
+            self.raw(out[:w].tobytes())
+            return
         for c in coeffs:
-            self.zz(int(c))
+            self.zz(c)
 
     def vec_long(self, arr):
         arr = np.asarray(arr, dtype="<i8")

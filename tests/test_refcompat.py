@@ -97,3 +97,50 @@ def test_secret_key_interop(ctx, ref_chain):
     sk2 = refcompat.import_secret_key(buf, ref, ctx)
     assert np.array_equal(np.asarray(sk2.sk_evals), np.asarray(sk.sk_evals))
     assert list(sk2.decrypt(ct).message) == list(msg % ctx.p)
+
+
+def test_public_key_interop(ctx, ref_chain):
+    """pk export -> import round trip (FHE-SI.cpp:72-78): identical limbs
+    and evals, and encrypting under the re-imported pk with the same
+    randomness yields the SAME ciphertext."""
+    ref = refserial.RefContext(ctx.m, ctx.log_q, ctx.p, ctx.generator,
+                               ctx.decomp_size, ref_chain)
+    src = sampling.RandomSource(11)
+    sk, pk = scheme.keygen(ctx, src)
+    buf = refcompat.export_public_key(pk, ref)
+    pk2 = refcompat.import_public_key(buf, ref, ctx)
+    assert np.array_equal(np.asarray(pk2.pk_limbs), np.asarray(pk.pk_limbs))
+    assert np.array_equal(np.asarray(pk2.pk_evals), np.asarray(pk.pk_evals))
+
+    msg = src.uniform_mod_p(ctx.phim, ctx.p)
+    er = sampling.sample_encrypt(src, ctx.phim, ctx.stdev)
+    ct_a = pk.encrypt(scheme.Plaintext(ctx, msg), er)
+    ct_b = pk2.encrypt(scheme.Plaintext(ctx, msg), er)
+    assert ct_a.to_python_parts() == ct_b.to_python_parts()
+    assert list(sk.decrypt(ct_b).message) == list(msg % ctx.p)
+
+
+def test_keyswitch_interop(ctx, ref_chain):
+    """keyswitch matrix export -> import -> USE round trip
+    (FHE-SI.cpp:270-276): the re-imported matrix produces bit-identical
+    relinearization outputs."""
+    ref = refserial.RefContext(ctx.m, ctx.log_q, ctx.p, ctx.generator,
+                               ctx.decomp_size, ref_chain)
+    src = sampling.RandomSource(13)
+    sk, pk = scheme.keygen(ctx, src)
+    ksw = scheme.KeySwitch.for_relinearization(sk, src)
+    buf = refcompat.export_keyswitch(ksw, ref)
+    ksw2 = refcompat.import_keyswitch(buf, ref, ctx)
+    assert np.array_equal(np.asarray(ksw2.matrix_evals),
+                          np.asarray(ksw.matrix_evals))
+
+    m1 = src.uniform_mod_p(ctx.phim, ctx.p)
+    m2 = src.uniform_mod_p(ctx.phim, ctx.p)
+    c1 = pk.encrypt(scheme.Plaintext(ctx, m1), src)
+    c2 = pk.encrypt(scheme.Plaintext(ctx, m2), src)
+    tens = c1 * c2
+    out_a = ksw.apply(tens)
+    out_b = ksw2.apply(tens)
+    assert out_a.to_python_parts() == out_b.to_python_parts()
+    assert list(sk.decrypt(out_b).message) == list(
+        oracle.plaintext_mul(ctx, m1, m2))
