@@ -43,6 +43,14 @@ LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 PRIME_MAX_BITS = 20  # chain primes < 2^20: 10-bit split modmul stays int32-exact
 
+# Plaintext modulus cap.  p rides very different lanes than the chain
+# primes: it enters the device only as p mod q_l (evaluation domain),
+# as the limb constants floor(q/p) and 2p (mod-2^logQ domain), and in
+# the decrypt tail's final mod-p (ops/limbs.mod_p_bounded quotient
+# estimation for p >= 2^20, whose correction adds need p < 2^30 to stay
+# int32-exact).  The reference's p is an NTL ZZ (FHEContext.h:91-99).
+PLAINTEXT_MAX_BITS = 30
+
 # Worst-case part count any key-switch matrix may carry (relinearization
 # uses 3: the tensored key (1, s, s^2), FHE-SI.cpp:211-227; automorph
 # uses 2).  Enforced at KeySwitch build/apply time, and the keyswitch
@@ -93,6 +101,20 @@ def exact_modmatmul_f64(a: np.ndarray, b: np.ndarray, q: int,
     return out
 
 
+def matmul_mod_blocked(A: np.ndarray, v: np.ndarray, p: int) -> np.ndarray:
+    """Exact (A @ v) % p for int64 entries in [0, p): partial sums are
+    reduced every `step` columns so they stay below 2^62 (needed once
+    p approaches the 2^30 plaintext cap)."""
+    k = A.shape[1]
+    if p * p * max(1, k) < (1 << 62):
+        return (A @ v) % p
+    step = max(1, (1 << 62) // (p * p))
+    out = np.zeros(A.shape[:1] + v.shape[1:], dtype=np.int64)
+    for s in range(0, k, step):
+        out = (out + A[:, s:s + step] @ v[s:s + step]) % p
+    return out
+
+
 def limbs_to_int(limbs, signed: bool = True) -> int:
     """Inverse of int_to_limbs; interprets as two's complement if signed."""
     limbs = np.asarray(limbs)
@@ -119,10 +141,20 @@ class FheContext:
                  primes: list[int] | None = None,
                  roots: list[int] | None = None,
                  num_primes_multiple: int = 1):
-        if p >= 1 << PRIME_MAX_BITS:
+        if p >= 1 << PLAINTEXT_MAX_BITS:
             raise NotImplementedError(
-                f"plaintext modulus p={p} >= 2^{PRIME_MAX_BITS} is not supported by "
-                "the int32-lane device arithmetic yet")
+                f"plaintext modulus p={p} >= 2^{PLAINTEXT_MAX_BITS} is not "
+                "supported: slot values and the Barrett corrections of the "
+                "decrypt tail must fit int32 lanes")
+        if log_q <= p.bit_length() + 1:
+            raise ValueError(
+                f"logQ={log_q} leaves no room above p={p} (the message "
+                "rides the top bits: q/p must exceed 1, FHE-SI.cpp:31)")
+        if not numbth.is_prime(p):
+            raise ValueError(
+                f"plaintext modulus p={p} must be prime (the slot "
+                "structure factors Phi_m over the field Z_p, "
+                "PlaintextSpace.cpp:28-30)")
         self.m = m
         self.log_q = log_q
         self.q = 1 << log_q
@@ -177,8 +209,11 @@ class FheContext:
 
         # ---- limb widths ----
         # Full width covers CRT-reconstructed centered values |x| < P/2
-        # plus the *2p headroom of the decrypt rounding (FHE-SI.cpp:113-117).
-        self.n_limbs = (self.prime_product.bit_length() + 24) // LIMB_BITS + 2
+        # plus the *2p headroom of the decrypt rounding (FHE-SI.cpp:113-117):
+        # |d*2p + q| adds (2p).bit_length()+1 bits over |d|.
+        self._round_headroom = max(24, (2 * p).bit_length() + 4)
+        self.n_limbs = ((self.prime_product.bit_length() + self._round_headroom)
+                        // LIMB_BITS + 2)
         # Ciphertext width: persistent parts hold values mod 2^logQ (two's
         # complement, |v| <= q after one un-reduced add), so they only need
         # ceil((logQ+1)/16) limbs — ~2.6x narrower than the reconstruction
@@ -354,14 +389,14 @@ class FheContext:
             vals = np.zeros(self.total_slots, dtype=np.int64)
             use = min(len(arr), limit)
             vals[:use] = arr[:use] % self.p
-            return (self.embed_matrix @ vals) % self.p
+            return matmul_mod_blocked(self.embed_matrix, vals, self.p)
         vals = np.zeros((self.total_slots, d), dtype=np.int64)
         use = min(len(arr), limit)
         if arr.ndim == 1:                      # per-slot constants
             vals[:use, 0] = arr[:use] % self.p
         else:
             vals[:use, :arr.shape[1]] = arr[:use] % self.p
-        return (self.embed_matrix @ vals.reshape(-1)) % self.p
+        return matmul_mod_blocked(self.embed_matrix, vals.reshape(-1), self.p)
 
     def decode_slots(self, poly_mod_p) -> np.ndarray:
         """Decode every slot (DecodeSlots, PlaintextSpace.cpp:123-134).
@@ -372,17 +407,11 @@ class FheContext:
         arr = np.asarray(poly_mod_p, dtype=np.int64) % self.p
         coeffs[:len(arr)] = arr
         if self.slot_degree > 1:
-            # entries < p, coeffs < p: exact while p^2*phim < 2^62
-            assert self.p * self.p * self.phim < (1 << 62)
-            return np.einsum('sdc,c->sd', self.decode_tensors, coeffs) % self.p
-        # D @ coeffs with int64-safe blocking: entries < p^2 * phim.
-        if self.p * self.p * self.phim < (1 << 62):
-            return (self.decode_matrix @ coeffs) % self.p
-        out = np.zeros(self.total_slots, dtype=np.int64)
-        step = max(1, (1 << 62) // (self.p * self.p))
-        for s in range(0, self.phim, step):
-            out = (out + self.decode_matrix[:, s:s + step] @ coeffs[s:s + step]) % self.p
-        return out
+            S, d = self.total_slots, self.slot_degree
+            flat = matmul_mod_blocked(
+                self.decode_tensors.reshape(S * d, self.phim), coeffs, self.p)
+            return flat.reshape(S, d)
+        return matmul_mod_blocked(self.decode_matrix, coeffs, self.p)
 
     # -------------------------------------------------------------- automorph
     def automorph_perm(self, k: int) -> np.ndarray:
@@ -515,7 +544,7 @@ class FheContext:
         # (the mr factor gives > L headroom), the w*P subtraction, and the
         # *2p + q decrypt-rounding headroom (same budget shape as n_limbs,
         # which this reproduces exactly for the full basis).
-        n = ((P * mr).bit_length() + 24) // LIMB_BITS + 2
+        n = ((P * mr).bit_length() + self._round_headroom) // LIMB_BITS + 2
         binv = np.zeros(L_all, dtype=np.int64)
         Bmodr = np.zeros(L_all, dtype=np.int64)
         B = np.zeros((L_all, n), dtype=np.int32)
@@ -647,7 +676,10 @@ class FheContext:
                     tens=tens,
                     auto_wide=self.phim * wide * H,
                     mulc_wide=self.phim * wide * (self.p - 1) * G,
-                    B_e=B_e)
+                    B_e=B_e,
+                    # decrypt-tail quotient bound: |round(d*p/q)| <=
+                    # p*(1+64G)/2 + 2 with |d| <= dec (limbs.mod_p_bounded)
+                    K_dec=(1 + 64 * G) // 2 + 3)
 
     def _subset_size_for(self, bound: int) -> int:
         """Leading value primes whose product exceeds 2*bound (centered

@@ -160,11 +160,17 @@ class DeviceContext:
             q_over_p=jnp.asarray(ctx.q_over_p_limbs),
             q_over_p_sh10=jnp.asarray(
                 int_to_limbs((ctx.q // ctx.p) << 10, ctx.n_limbs)),
+            q_over_p_sh20=jnp.asarray(
+                int_to_limbs((ctx.q // ctx.p) << 20, ctx.n_limbs)),
+            # p as limbs for the large-p decrypt tail (mod_p_bounded)
+            p_limbs=jnp.asarray(int_to_limbs(ctx.p, 4)),
         )
         # scalar constants (fine to embed in HLO)
         self.p = jnp.int32(ctx.p)
         self.pinv_f = jnp.float32(1.0 / ctx.p)
+        self.p_f = jnp.float32(ctx.p)
         self.p_wrap = jnp.int32(rt['p_wrap'])
+        self.large_p = ctx.p >= (1 << 20)
 
     # ------------------------------------------------------- conveniences
     # Back-compat attribute views used by tests/tools.
@@ -377,7 +383,8 @@ class DeviceContext:
         parts = self._to_poly_sub(T, ct_evals)
         nw = parts.shape[-1]     # lin-basis recon width; q/p << 2^(16*nw)
         scaled = lb.scale_coeffs_by_bigint(msg, C['q_over_p'][..., :nw],
-                                           C['q_over_p_sh10'][..., :nw])
+                                           C['q_over_p_sh10'][..., :nw],
+                                           C['q_over_p_sh20'][..., :nw])
         parts = parts.at[0].set(lb.add(parts[0], scaled))
         return self._reduce_signed(C, parts)
 
@@ -412,6 +419,11 @@ class DeviceContext:
         y = lb.mul_small(d, 2 * self.p)
         y = lb.add(y, jnp.broadcast_to(C['q_limbs'][..., :nw], y.shape))
         y = lb.arith_shift_right(y, self.log_q + 1)
+        if self.large_p:
+            # p >= 2^20: the chunk-dot tables would overflow int32 —
+            # quotient-estimate reduction instead (|y| <= K_dec * p)
+            return lb.mod_p_bounded(y, C['p_limbs'], self.p_f,
+                                    self.ctx.exact_bounds['K_dec'])
         p_wrap = jnp.int32(pow(2, 16 * nw, self.ctx.p))
         return crt.limbs_to_mod_small(y, C['p_chunk_tbl'], p_wrap,
                                       self.p, self.pinv_f)

@@ -139,35 +139,87 @@ def shift_left(a, shift: int):
 
 
 def mul_small(a, c):
-    """a * c for nonnegative c < 2^20 (int32 array broadcastable to a[..., 0]).
+    """a * c for nonnegative c < 2^30 (int32 array broadcastable to a[..., 0]).
 
-    10-bit split keeps products < 2^26; lo/hi accumulation then one
-    normalize.  For signed c, negate via neg() at the caller.
+    3 x 10-bit digit split keeps every product < 2^27; lo/hi accumulation
+    then one normalize.  For signed c, negate via neg() at the caller.
     """
     c = jnp.asarray(c, dtype=jnp.int32)
-    ch, cl = c >> 10, c & 1023
-    p0 = a * cl[..., None]                 # < 2^26
-    p1 = a * ch[..., None]                 # < 2^26, weight 2^10
-    acc = (p0 & LIMB_MASK) + ((p1 & ((1 << (LIMB_BITS - 10)) - 1)) << 10)
+    c2, c1, c0 = c >> 20, (c >> 10) & 1023, c & 1023
+    p0 = a * c0[..., None]                 # < 2^26
+    p1 = a * c1[..., None]                 # < 2^26, weight 2^10
+    p2 = a * c2[..., None]                 # < 2^26, weight 2^20
+    # weight-2^20 plane lands at limb k+1 with a 4-bit in-limb shift
+    acc = ((p0 & LIMB_MASK)
+           + ((p1 & ((1 << (LIMB_BITS - 10)) - 1)) << 10))
     hi = (p0 >> LIMB_BITS) + (p1 >> (LIMB_BITS - 10))
-    acc = acc + jnp.pad(hi[..., :-1], [(0, 0)] * (hi.ndim - 1) + [(1, 0)])
+    hi = hi + ((p2 & ((1 << (LIMB_BITS - 4)) - 1)) << 4)
+    hi2 = p2 >> (LIMB_BITS - 4)
+    pad = [(0, 0)] * (hi.ndim - 1)
+    acc = acc + jnp.pad(hi[..., :-1], pad + [(1, 0)])
+    acc = acc + jnp.pad(hi2[..., :-2], pad + [(2, 0)])
     return normalize(acc)
 
 
-def scale_coeffs_by_bigint(coeffs, const_limbs, const_limbs_sh10):
-    """coeffs[..., i] * C for small nonnegative coeffs < 2^20 and a big
-    constant C given as limbs (plus its 2^10-shifted copy).
+def scale_coeffs_by_bigint(coeffs, const_limbs, const_limbs_sh10,
+                           const_limbs_sh20=None):
+    """coeffs[..., i] * C for nonnegative coeffs < 2^30 and a big
+    constant C given as limbs (plus its 2^10- and 2^20-shifted copies;
+    the sh20 plane may be omitted when coeffs < 2^20).
 
     Used for floor(q/p) * message in encrypt (FHE-SI.cpp:31).
     Returns limbs [..., n].
     """
-    ch, cl = coeffs >> 10, coeffs & 1023
-    p0 = cl[..., None] * const_limbs       # < 2^10 * 2^16 = 2^26
-    p1 = ch[..., None] * const_limbs_sh10
+    c2, c1, c0 = coeffs >> 20, (coeffs >> 10) & 1023, coeffs & 1023
+    p0 = c0[..., None] * const_limbs       # < 2^10 * 2^16 = 2^26
+    p1 = c1[..., None] * const_limbs_sh10
     acc = (p0 & LIMB_MASK) + (p1 & LIMB_MASK)
     hi = (p0 >> LIMB_BITS) + (p1 >> LIMB_BITS)
+    if const_limbs_sh20 is not None:
+        p2 = c2[..., None] * const_limbs_sh20   # c2 < 2^10
+        acc = acc + (p2 & LIMB_MASK)
+        hi = hi + (p2 >> LIMB_BITS)
     acc = acc + jnp.pad(hi[..., :-1], [(0, 0)] * (hi.ndim - 1) + [(1, 0)])
     return normalize(acc)
+
+
+def mod_p_bounded(y, p_limbs, p_f, K_bound: int):
+    """y mod p in [0, p) for two's complement limbs y with |y| <= K*p,
+    K = K_bound < 2^12, and p < 2^30 given as limbs plus float32 p.
+
+    The quotient is estimated in float32 (|y| <= 2^42 -> absolute f32
+    error <= |y|*2^-24 <= K*p*2^-24, so |quo_err| <= 1/2 + K*2^-24 < 1
+    for K < 2^12), subtracted in the limb domain (quo * p_limbs products
+    < 2^12 * 2^16 = 2^28, int32-exact), and fixed with one add-p /
+    subtract-p correction pair.  Used by the decrypt tail when p >= 2^20
+    (the 4-bit chunk-dot path's table entries would overflow int32).
+    Returns int32 values (p < 2^30 fits the lane).
+    """
+    assert K_bound < (1 << 12), "mod_p_bounded: quotient bound too large"
+    n = y.shape[-1]
+    if p_limbs.shape[-1] < n:       # p is positive: zero-extend
+        p_limbs = jnp.pad(p_limbs, (0, n - p_limbs.shape[-1]))
+    else:
+        p_limbs = p_limbs[..., :n]
+    # |y| in f32 via sign-magnitude (a direct two's complement f32 sum
+    # would cancel catastrophically for negatives): each product is
+    # exact, the adds lose <= |y|*2^-22 total, so the quotient error is
+    # <= 1/2 + K*2^-22 < 1 independent of p.  |y| <= K*p < 2^42 lives in
+    # the low 3-4 limbs of the magnitude.
+    neg = is_negative(y)
+    ya = normalize(jnp.where(neg[..., None] == 1, -y, y))
+    m = min(n, 4)
+    yf = jnp.zeros(y.shape[:-1], dtype=jnp.float32)
+    for k in range(m):
+        yf = yf + ya[..., k].astype(jnp.float32) * jnp.float32(2.0 ** (16 * k))
+    quo = jnp.rint(yf / p_f).astype(jnp.int32)
+    quo = jnp.where(neg == 1, -quo, quo)
+    r = normalize(y - quo[..., None] * p_limbs)        # in (-p, 2p)
+    r = normalize(r + is_negative(r)[..., None] * p_limbs)
+    d = normalize(r - p_limbs)
+    r = jnp.where(is_negative(d)[..., None] == 1, r, d)  # now in [0, p)
+    # assemble into int32: values < p < 2^30 live in the low two limbs
+    return r[..., 0] + (r[..., 1] << LIMB_BITS)
 
 
 def from_small_signed(coeffs, n: int):

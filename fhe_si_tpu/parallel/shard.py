@@ -61,6 +61,8 @@ def table_specs(limb: str = 'limb'):
         q_limbs=P(None),
         q_over_p=P(None),
         q_over_p_sh10=P(None),
+        q_over_p_sh20=P(None),
+        p_limbs=P(None),
     )
 
 

@@ -78,6 +78,10 @@ def test_ntt_inverse_consistency(ctx):
 
 def test_rejects_bad_params():
     with pytest.raises(NotImplementedError):
-        FheContext(m=22, log_q=80, p=2 ** 21 + 3, generator=7)
+        FheContext(m=22, log_q=80, p=2 ** 31 + 11, generator=7)  # p >= 2^30
+    with pytest.raises(ValueError):
+        FheContext(m=22, log_q=80, p=2 ** 21 + 3, generator=7)  # composite p
+    with pytest.raises(ValueError):
+        FheContext(m=22, log_q=20, p=2 ** 24 + 43, generator=7)  # q <= 2p
     with pytest.raises(ValueError):
         FheContext(m=36, log_q=80, p=37, generator=5)  # (Z/36)* not cyclic
