@@ -75,6 +75,14 @@ def _chain_rate(dev, matrix, a, steps, reps=3):
     return batch * steps / best, best / steps
 
 
+# Secondary-probe shapes are PINNED independently of the main `steps`
+# parameter so BENCH_r* numbers stay round-comparable (round 2 changed
+# steps 8 -> 32 and the recorded NTT rate moved ~6x for probe reasons,
+# not kernel reasons).  Bump the version suffix if a probe must change.
+NTT_PROBE = dict(version="v3", batch=2048, steps=32)
+SCALE_PROBE = dict(version="v3", steps=32)
+
+
 def bench_device(batch=16384, steps=32):
     import jax
     import jax.numpy as jnp
@@ -94,28 +102,37 @@ def bench_device(batch=16384, steps=32):
 
     # secondary: NTT throughput (chained fwd+inv round trips keep the
     # residues valid and the chain data-dependent) and ScaleDown latency
+    # — probe shapes pinned (NTT_PROBE/SCALE_PROBE), NOT tied to `steps`
+    ntt_steps = NTT_PROBE["steps"]
+
     def ntt_chain(C, x):
         def body(cur, _):
             return dev._ntt(C, 'inv_chunks', dev._ntt(C, 'fwd_chunks', cur)), ()
-        y, _ = jax.lax.scan(body, x, None, length=steps)
+        y, _ = jax.lax.scan(body, x, None, length=ntt_steps)
         return jnp.sum(y)
 
-    a_ntt = a[:2048]  # NTT probe needs no giant batch
+    a_ntt = a[:NTT_PROBE["batch"]]
     ev = dev.from_poly(a_ntt)  # [B, 2, L, phim]
     res = dev.ntt_inv(ev)
     fn = jax.jit(ntt_chain)
     np.asarray(fn(dev.C, res))
-    t0 = time.perf_counter()
-    np.asarray(fn(dev.C, jnp.roll(res, 1, axis=0)))
-    dt = time.perf_counter() - t0
-    ntt_rate = a_ntt.shape[0] * 2 * ctx.num_primes * 2 * steps / dt
+    dt = float("inf")
+    for r in range(3):
+        x = jnp.roll(res, r + 1, axis=0)
+        x.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(fn(dev.C, x))
+        dt = min(dt, time.perf_counter() - t0)
+    ntt_rate = a_ntt.shape[0] * 2 * ctx.num_primes * 2 * ntt_steps / dt
+
+    sd_steps = SCALE_PROBE["steps"]
 
     def sd_chain(C, t):
         def body(cur, _):
             parts = dev._scale_down(C, cur)
             # re-lift to keep shapes static and the chain data-dependent
             return dev._from_poly(C, parts), ()
-        y, _ = jax.lax.scan(body, t, None, length=steps)
+        y, _ = jax.lax.scan(body, t, None, length=sd_steps)
         return jnp.sum(y)
 
     tens = dev.tensor_mul_op(c1.parts, c1.parts)
@@ -128,12 +145,14 @@ def bench_device(batch=16384, steps=32):
         x.block_until_ready()
         t0 = time.perf_counter()
         np.asarray(fn(dev.C, x))
-        scale_ms = min(scale_ms, (time.perf_counter() - t0) / steps * 1e3)
+        scale_ms = min(scale_ms, (time.perf_counter() - t0) / sd_steps * 1e3)
 
     print(f"[bench] device: {rate:.1f} mults/s (batch={batch}, "
           f"{steps} chained steps, {step_s*1e3:.2f} ms/step); "
-          f"NTT {ntt_rate:.0f} transforms/s; "
-          f"ScaleDown+lift {scale_ms:.2f} ms (unbatched)", file=sys.stderr)
+          f"NTT[{NTT_PROBE['version']}] {ntt_rate:.0f} transforms/s "
+          f"(batch={NTT_PROBE['batch']}, steps={ntt_steps}); "
+          f"ScaleDown+lift[{SCALE_PROBE['version']}] {scale_ms:.2f} ms "
+          f"(unbatched, steps={sd_steps})", file=sys.stderr)
     return rate, ntt_rate, scale_ms
 
 

@@ -557,8 +557,14 @@ class FheContext:
             Bmodr[l] = Bl % mr
             B[l] = int_to_limbs(Bl, n)
             Bh[l] = int_to_limbs(Bl << 10, n)
+        # balanced 7-bit digit planes of the B limbs for the MXU
+        # reconstruction path (ops/crt.crt_partials_mxu); reuses the NTT
+        # chunker on a [1, L_all, n] view
+        from .ops import ntt as _ntt
+        B_chunks = _ntt.chunk_matrix(B[None].astype(np.int32))[:, 0]
         return dict(
             binv=binv, Bmodr=Bmodr, B=B, Bh=Bh, er_mask=er_mask,
+            B_chunks=B_chunks,
             P_limbs=int_to_limbs(P, n),
             P_limbs_sh10=int_to_limbs(P << 10, n),
             mr=mr, Pinv_r=numbth.modinv(P % mr, mr),

@@ -77,6 +77,7 @@ class DeviceContext:
             return dict(
                 binv=as32(t['binv']), Bmodr=as32(t['Bmodr']),
                 B=as32(t['B']), Bh=as32(t['Bh']),
+                B_chunks=jnp.asarray(t['B_chunks']),   # int8 digit planes
                 er_mask=as32(t['er_mask']),
                 P_limbs=as32(t['P_limbs']),
                 P_limbs_sh10=as32(t['P_limbs_sh10']),

@@ -112,6 +112,74 @@ def crt_partials(res, t, q, qinv_f, prescaled: bool = False):
     return acc, sig_raw, er
 
 
+def crt_partials_mxu(res, t, q, qinv_f):
+    """crt_partials for PRESCALED residues with the limb accumulation as
+    MXU int8 digit matmuls instead of elementwise limb expansion.
+
+    The dominant cost of the single-pass reconstruction is
+    S = sum_l c_l * B_l in the limb domain: the elementwise path
+    materializes [.., L, phim, n] int32 planes and does ~8 VPU ops per
+    (l, x, k).  Here both factors ride the same balanced 7-bit digit
+    machinery as the NTT (ops/ntt.py): c (< 2^20) splits into 3 digits
+    on device, B's 16-bit limbs split into 3 digit planes on the host
+    (fast_crt_tables['B_chunks'], with pairwise sums for Karatsuba), and
+    the contraction over l becomes SIX s8xs8->s32 einsums — O(L) VPU
+    work collapses to one MXU pass plus a 5-term shift-group recombine.
+
+    Exactness: |digit| <= 64, |pairwise sum| <= 128, so every product is
+    <= 2^14 and group sums over l <= 3 * 2^14 * L < 2^22 for L <= 64 —
+    int32-exact, and still exact after a psum over limb shards (the
+    bound covers the full chain).  Recombine intermediates < 2^31.
+
+    Returns the same (acc, sig_raw, er) triple as crt_partials
+    (acc in partial-limb form for crt_finish; entries < 2^26).
+    """
+    from . import ntt
+
+    c = res  # prescaled: value rows carry binv, redundant row raw
+    d = ntt.chunk_x(c)                       # 3 x int8 [.., L, phim]
+    d01 = (d[0].astype(jnp.int32) + d[1]).astype(jnp.int8)
+    d12 = (d[1].astype(jnp.int32) + d[2]).astype(jnp.int8)
+    d02 = (d[0].astype(jnp.int32) + d[2]).astype(jnp.int8)
+    planes = (d[0], d[1], d[2], d01, d12, d02)
+    Bc = t['B_chunks']                       # int8 [6, L, n]
+
+    def mm(i, j):
+        return jnp.einsum('...lx,ln->...xn', planes[i], Bc[j],
+                          preferred_element_type=jnp.int32)
+
+    p00, p11, p22 = mm(0, 0), mm(1, 1), mm(2, 2)
+    p01, p12, p02 = mm(3, 3), mm(4, 4), mm(5, 5)
+    groups = (p00,
+              p01 - p00 - p11,
+              p02 - p00 - p22 + p11,
+              p12 - p11 - p22,
+              p22)
+
+    n = Bc.shape[-1]
+    pad = [(0, 0)] * (p00.ndim - 1)
+    acc = jnp.zeros_like(p00)
+    for s, G in enumerate(groups):
+        off, sh = divmod(7 * s, lb.LIMB_BITS)
+        Ga = G & lb.LIMB_MASK                # [0, 2^16)
+        Gb = G >> lb.LIMB_BITS               # signed, |Gb| < 2^6
+        t0 = Ga << sh                        # < 2^31
+        t1 = (t0 >> lb.LIMB_BITS) + (Gb << sh)   # |t1| < 2^22
+        lo = t0 & lb.LIMB_MASK
+        if off:
+            lo = jnp.pad(lo[..., :-off], pad + [(off, 0)])
+            t1 = jnp.pad(t1[..., :-(off + 1)], pad + [(off + 1, 0)])
+        else:
+            t1 = jnp.pad(t1[..., :-1], pad + [(1, 0)])
+        acc = acc + lo + t1
+
+    mr = t['mr']
+    term = mod_mul(c, t['Bmodr'][:, None], mr, t['mrinv_f'])
+    sig_raw = jnp.sum(term, axis=-2)
+    er = jnp.sum(t['er_mask'][:, None] * res, axis=-2)
+    return acc, sig_raw, er
+
+
 def crt_finish(acc, sig_raw, er, t, n_limbs: int):
     """Replicated tail of the single-pass CRT reconstruction: compute the
     exact wrap count w = ((S mod m_r) - E_r) * P^{-1} mod m_r (exact since
@@ -137,13 +205,20 @@ def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int | None = None,
                            prescaled: bool = False):
     """Single-pass CRT reconstruction via the redundant modulus
     (context.fast_crt_tables): no serial Garner scan — O(L) parallel
-    elementwise work plus one small exact correction.  Returns the
-    centered signed value E as two's complement limbs at the BASIS width
+    work plus one small exact correction.  Returns the centered signed
+    value E as two's complement limbs at the BASIS width
     (t['B'].shape[-1] — per-basis 'n_rec', context._fast_crt_for).
+
+    Prescaled inputs take the MXU digit-matmul accumulation
+    (crt_partials_mxu) when the tables carry digit planes; the paths
+    are bit-identical (tests/test_ops.py::test_crt_partials_mxu_parity).
 
     res: [..., L, phim] with the LAST row tracking E mod m_r.
     """
-    acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled)
+    if prescaled and 'B_chunks' in t:
+        acc, sig_raw, er = crt_partials_mxu(res, t, q, qinv_f)
+    else:
+        acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled)
     return crt_finish(acc, sig_raw, er, t,
                       n_limbs if n_limbs is not None else t['B'].shape[-1])
 

@@ -52,6 +52,7 @@ def table_specs(limb: str = 'limb'):
         inv_chunks_crt=P(None, limb, None, None),
         fast_crt=dict(
             binv=L, Bmodr=L, B=L_, Bh=L_, er_mask=L,
+            B_chunks=P(None, limb, None),
             P_limbs=P(None), P_limbs_sh10=P(None),
             mr=P(), mrinv_f=P(), Pinv_r=P()),
         chunk_tbl=P(None, limb),
@@ -88,10 +89,13 @@ class ShardedPipelines:
 
     # ---------------------------------------------------- shard-local pieces
     def _to_poly_psum(self, Cl, evals):
-        """Local iNTT + CRT partials, one psum over 'limb', replicated tail."""
+        """Local iNTT + CRT partials, one psum over 'limb', replicated
+        tail.  The MXU digit-matmul partials are exact for the FULL
+        chain contraction (|group| < 2^22 for L <= 64, ops/crt.py), so
+        the psum of shard-local partials cannot overflow."""
         res = ntt.modmatmul(Cl['inv_chunks_crt'], evals, Cl['q'], Cl['qinv_f'])
-        acc, sig, er = crt.crt_partials(res, Cl['fast_crt'], Cl['q'],
-                                        Cl['qinv_f'], prescaled=True)
+        acc, sig, er = crt.crt_partials_mxu(res, Cl['fast_crt'], Cl['q'],
+                                            Cl['qinv_f'])
         acc, sig, er = jax.lax.psum((acc, sig, er), self.limb)
         return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
 

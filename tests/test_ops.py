@@ -158,6 +158,30 @@ def test_fast_crt_equals_garner(ctx, dev):
     assert got == vals
 
 
+def test_crt_partials_mxu_parity(ctx, dev):
+    """The MXU digit-matmul CRT accumulation (crt_partials_mxu) must
+    yield bit-identical reconstructions to the elementwise path for
+    prescaled residues — across random inputs, both subset bases, and
+    the full chain."""
+    rng = np.random.default_rng(11)
+    for T in (dev._full_as_subset(dev.C), dev.C['ksw'] or dev._full_as_subset(dev.C),
+              dev.C['lin'] or dev._full_as_subset(dev.C)):
+        fc = T['fast_crt']
+        L = T['q'].shape[0]
+        res = np.stack([rng.integers(0, int(q), (3, ctx.phim))
+                        for q in np.asarray(T['q'])[:, 0]], axis=1)
+        x = jnp.asarray(res, jnp.int32)
+        a1, s1, e1 = crt.crt_partials(x, fc, T['q'], T['qinv_f'],
+                                      prescaled=True)
+        a2, s2, e2 = crt.crt_partials_mxu(x, fc, T['q'], T['qinv_f'])
+        n = fc['B'].shape[-1]
+        f1 = crt.crt_finish(a1, s1, e1, fc, n)
+        f2 = crt.crt_finish(a2, s2, e2, fc, n)
+        assert np.array_equal(np.asarray(f1), np.asarray(f2))
+        assert np.array_equal(np.asarray(s1), np.asarray(s2))
+        assert np.array_equal(np.asarray(e1), np.asarray(e2))
+
+
 def test_ntt_roundtrip_and_dft_oracle(ctx, dev):
     """Matmul NTT against the slow direct DFT (the analog of the reference's
     debug tDFT oracle, bluestein.cpp:148-172)."""
