@@ -204,6 +204,135 @@ class ShardedPipelines:
         return lambda a, b, matrix: jitted(self.C, a, b, matrix)
 
 
+class CoeffShardedPipelines:
+    """The FULL mul+relin pipeline with the phi(m) axis sharded over
+    'coeff' (SURVEY §2 axis 2 — the sequence-parallel analog), optionally
+    batch-sharded over 'dp'.
+
+    Everything except the four NTT sites is per-coefficient local once
+    the data lives on the evaluation/coefficient grid: limbs->residues,
+    the eval-domain tensor product, CRT partials + finish, ScaleDown
+    limb arithmetic, ByteDecomp, and the keyswitch dot all shard over
+    phim with zero communication.  Each NTT contracts the coefficient
+    axis, so each shard computes the Karatsuba shift groups on its
+    n_in slice (linear in x; bounds hold for the full contraction,
+    ops/ntt.karatsuba_groups) and ONE psum over 'coeff' per transform
+    delivers the groups; the Barrett-Horner combine runs replicated and
+    each shard keeps its output block (reduce-scatter pattern).
+    4 psums per mul+relin — the same collective count as the limb
+    pipeline, riding ICI.
+    """
+
+    def __init__(self, dev, mesh: Mesh, dp: str = 'dp', coeff: str = 'coeff'):
+        if dev.phim % mesh.shape[coeff]:
+            raise ValueError(
+                f"phim={dev.phim} does not shard over {coeff}="
+                f"{mesh.shape[coeff]}")
+        self.dev = dev
+        self.mesh = mesh
+        self.dp = dp if dp in mesh.shape else None
+        self.coeff = coeff
+        self.S = mesh.shape[coeff]
+        self.C = _prune_tables(dev.C)
+        cs = P(None, None, None, coeff)     # chunk planes: n_in sharded
+        rep = P()
+        self.Cspec = dict(
+            q=P(None, None), qinv_f=P(None, None), p_mod_q=P(None, None),
+            fwd_chunks=cs, inv_chunks_crt=cs,
+            fast_crt=dict(
+                binv=P(None), Bmodr=P(None), B=P(None, None),
+                Bh=P(None, None), er_mask=P(None),
+                B_chunks=P(None, None, None),
+                P_limbs=P(None), P_limbs_sh10=P(None),
+                mr=rep, mrinv_f=rep, Pinv_r=rep),
+            chunk_tbl=P(None, None), wrap=P(None, None),
+            wrap_ct=P(None, None), p_chunk_tbl=P(None),
+            q_limbs=P(None), q_over_p=P(None), q_over_p_sh10=P(None),
+            q_over_p_sh20=P(None), p_limbs=P(None),
+        )
+
+    def _ntt_coeff(self, chunks_local, x_local, q, qinv_f):
+        """x sharded on its last (n_in) axis -> output sharded the same
+        way: local shift groups, one psum, replicated Horner, local slice."""
+        groups = ntt.karatsuba_groups(chunks_local, x_local)
+        groups = jax.lax.psum(groups, self.coeff)
+        r = ntt.horner_combine(groups, q, qinv_f)
+        i = jax.lax.axis_index(self.coeff)
+        loc = r.shape[-1] // self.S
+        return jax.lax.dynamic_slice_in_dim(r, i * loc, loc, axis=-1)
+
+    def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
+        dev = self.dev
+        fc = Cl['fast_crt']
+
+        def from_poly(parts):       # [k, phim_loc, n_ct] -> [k, L, phim_loc]
+            res = crt.limbs_to_residues(parts, Cl['chunk_tbl'],
+                                        Cl['wrap_ct'], Cl['q'], Cl['qinv_f'])
+            return self._ntt_coeff(Cl['fwd_chunks'], res, Cl['q'],
+                                   Cl['qinv_f'])
+
+        def to_poly(evals):         # [k, L, phim_loc] -> [k, phim_loc, n]
+            res = self._ntt_coeff(Cl['inv_chunks_crt'], evals, Cl['q'],
+                                  Cl['qinv_f'])
+            acc, sig, er = crt.crt_partials_mxu(res, fc, Cl['q'],
+                                                Cl['qinv_f'])
+            return crt.crt_finish(acc, sig, er, fc, dev.n)
+
+        a_ev = modular.mod_mul(from_poly(a_parts), Cl['p_mod_q'],
+                               Cl['q'], Cl['qinv_f'])
+        b_ev = from_poly(b_parts)
+        na, nb = a_ev.shape[0], b_ev.shape[0]
+        tprod = [None] * (na + nb - 1)
+        for i in range(na):
+            for j in range(nb):
+                pr = modular.mod_mul(a_ev[i], b_ev[j], Cl['q'], Cl['qinv_f'])
+                k = i + j
+                tprod[k] = pr if tprod[k] is None else modular.mod_add(
+                    tprod[k], pr, Cl['q'])
+        tprod = jnp.stack(tprod)
+
+        x = to_poly(tprod)
+        y = lb.shift_left(x, 1)
+        y = lb.add(y, jnp.broadcast_to(Cl['q_limbs'], y.shape))
+        y = lb.arith_shift_right(y, dev.log_q + 1)
+        parts = lb.reduce_mod_q(y, dev.log_q, False, Cl['q_limbs'],
+                                out_width=dev.n_ct)
+
+        phim_loc = parts.shape[-2]
+        digs = lb.byte_decomp(parts, dev.log_q, dev.digit_bits, dev.ndigits,
+                              Cl['q_limbs'])
+        digs = jnp.moveaxis(digs, -1, 1).reshape(-1, phim_loc)
+        dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
+        d_ev = self._ntt_coeff(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
+
+        acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
+                              axis=1)
+        out = to_poly(acc)
+        return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'],
+                               out_width=dev.n_ct)
+
+    def batched_mul_relin(self):
+        """fn(a [B,ka,phim,n_ct], b [B,kb,phim,n_ct], matrix [2,K,L,phim])
+        -> [B, 2, phim, n_ct]: phim sharded over 'coeff' (and the batch
+        over 'dp' when the mesh has one).  Bit-identical to the
+        single-device pipelines (tests/test_sharding.py)."""
+        dp, coeff = self.dp, self.coeff
+        bspec = P(dp, None, coeff, None) if dp else P(None, None, coeff, None)
+
+        def step(Cl, a, b, matrix_local):
+            return jax.vmap(self._mul_relin_local,
+                            in_axes=(None, 0, 0, None))(Cl, a, b, matrix_local)
+
+        sm = jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(self.Cspec, bspec, bspec,
+                      P(None, None, None, coeff)),
+            out_specs=bspec,
+            check_vma=False)
+        jitted = jax.jit(sm)
+        return lambda a, b, matrix: jitted(self.C, a, b, matrix)
+
+
 def make_coeff_mesh(n: int, devices=None) -> Mesh:
     """1-D mesh over the polynomial-coefficient axis (the sequence-parallel
     analog, SURVEY §2 axis 2: shard phi(m))."""

@@ -103,6 +103,30 @@ def test_limb_sharded_elementwise(setup):
     assert np.array_equal(np.asarray(out), np.asarray(want))
 
 
+def test_coeff_sharded_pipeline_bit_exact(setup):
+    """The FULL mul+relin pipeline with phi(m) sharded over 'coeff'
+    (dp=4 x coeff=2 mesh) must be bit-identical to the single-device
+    batched op — the sequence-parallel analog plumbed end-to-end."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fhe_si_tpu.parallel.shard import CoeffShardedPipelines
+
+    ctx, dev, sk, ksw, cts = setup
+    a = jnp.stack([c.parts for c in cts[:4]])
+    b = jnp.stack([c.parts for c in cts[4:]])
+    want = np.asarray(dev.batched_mul_relin_op(a, b, ksw.matrix_evals))
+
+    m = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ('dp', 'coeff'))
+    cp = CoeffShardedPipelines(dev, m)
+    fn = cp.batched_mul_relin()
+    sh = NamedSharding(m, P('dp', None, 'coeff', None))
+    a_sh = jax.device_put(a, sh)
+    b_sh = jax.device_put(b, sh)
+    mat_sh = jax.device_put(ksw.matrix_evals,
+                            NamedSharding(m, P(None, None, None, 'coeff')))
+    got = np.asarray(fn(a_sh, b_sh, mat_sh))
+    assert np.array_equal(got, want)
+
+
 def test_coeff_sharded_ntt_bit_exact(setup):
     """phi(m)-axis sharded NTT (psum of Karatsuba shift groups) must equal
     the single-device transform bit-for-bit, forward and inverse."""
