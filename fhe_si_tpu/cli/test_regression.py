@@ -1,18 +1,30 @@
 """CLI mirror of Test_Regression_x (Test_Regression.cpp:69-131).
 
 usage: python -m fhe_si_tpu.cli.test_regression datafile p generator [seed]
+           [--trace DIR]
+
+--trace DIR captures an XLA/TPU profiler timeline of the regression
+phase (view with xprof/TensorBoard).
 """
+import contextlib
 import sys
 import time
 
 from .. import sampling
 from ..apps import regression as reg
 from ..context import FheContext
+from ..profiling import PhaseProfiler, device_trace
 
 
 def main(argv):
+    argv = list(argv)
+    trace_dir = None
+    if "--trace" in argv:
+        i = argv.index("--trace")
+        trace_dir = argv[i + 1]
+        del argv[i:i + 2]
     if len(argv) < 4:
-        print("usage: test_regression datafile p generator [seed]")
+        print("usage: test_regression datafile p generator [seed] [--trace DIR]")
         return 1
     datafile, p, g = argv[1], int(argv[2]), int(argv[3])
     seed = int(argv[4]) if len(argv) > 4 else int(time.time())
@@ -32,36 +44,40 @@ def main(argv):
         print(f"  theta[{i}] = {t % p}")
     print(f"  Determinant: {det_pt % p}\n")
 
-    start = time.time()
-    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
-    source = sampling.RandomSource(seed)
-    model = reg.Regression(ctx, source)
-    print(f"Setup time: {time.time() - start:.2f}")
+    # structured phase timing, reference phase names (SURVEY §5 row 1)
+    prof = PhaseProfiler()
+    with prof.phase("setup"):
+        ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
+        source = sampling.RandomSource(seed)
+        model = reg.Regression(ctx, source)
+    print(f"Setup time: {prof.times['setup']:.2f}")
 
-    t0 = time.time()
-    ptxt_data, ptxt_labels = reg.batch_data(ctx, raw, labels)
-    print(f"Batch time: {time.time() - t0:.2f}")
+    with prof.phase("batch"):
+        ptxt_data, ptxt_labels = reg.batch_data(ctx, raw, labels)
+    print(f"Batch time: {prof.times['batch']:.2f}")
 
-    t0 = time.time()
-    model.add_data(ptxt_data, ptxt_labels)
-    print(f"Encryption time: {time.time() - t0:.2f}")
+    with prof.phase("encryption"):
+        model.add_data(ptxt_data, ptxt_labels)
+    print(f"Encryption time: {prof.times['encryption']:.2f}")
 
-    t0 = time.time()
-    theta_enc, det_enc = model.regress()
-    print(f"Regression time: {time.time() - t0:.2f}")
+    tr = device_trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    with prof.phase("regression"), tr:
+        theta_enc, det_enc = model.regress()
+    print(f"Regression time: {prof.times['regression']:.2f}")
 
-    t0 = time.time()
-    print("\nComputed values:")
-    ok = True
-    for i, ct in enumerate(theta_enc):
-        got = int(model.secret_key.decrypt(ct).decode_slots()[0])
-        print(f"  theta[{i}] = {got}")
-        ok &= got == theta_pt[i] % p
-    det_got = int(model.secret_key.decrypt(det_enc).decode_slots()[0])
-    print(f"  Determinant: {det_got}\n")
-    ok &= det_got == det_pt % p
-    print(f"Decryption time: {time.time() - t0:.2f}")
-    print(f"Total time: {time.time() - start:.2f}")
+    with prof.phase("decryption"):
+        print("\nComputed values:")
+        ok = True
+        for i, ct in enumerate(theta_enc):
+            got = int(model.secret_key.decrypt(ct).decode_slots()[0])
+            print(f"  theta[{i}] = {got}")
+            ok &= got == theta_pt[i] % p
+        det_got = int(model.secret_key.decrypt(det_enc).decode_slots()[0])
+        print(f"  Determinant: {det_got}\n")
+        ok &= det_got == det_pt % p
+    print(f"Decryption time: {prof.times['decryption']:.2f}")
+    print(f"Total time: {prof.total():.2f}")
+    print(f"[phases] {prof.as_json()}", file=sys.stderr)
     print("MATCH" if ok else "MISMATCH")
     return 0 if ok else 1
 

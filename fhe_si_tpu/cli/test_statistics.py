@@ -1,18 +1,27 @@
 """CLI mirror of Test_Statistics_x (Test_Statistics.cpp:178-244).
 
 usage: python -m fhe_si_tpu.cli.test_statistics datafile p generator [seed]
+           [--trace DIR]
 """
+import contextlib
 import sys
 import time
 
 from .. import sampling
 from ..apps import statistics as st
 from ..context import FheContext
+from ..profiling import PhaseProfiler, device_trace
 
 
 def main(argv):
+    argv = list(argv)
+    trace_dir = None
+    if "--trace" in argv:
+        i = argv.index("--trace")
+        trace_dir = argv[i + 1]
+        del argv[i:i + 2]
     if len(argv) < 4:
-        print("usage: test_statistics datafile p generator [seed]")
+        print("usage: test_statistics datafile p generator [seed] [--trace DIR]")
         return 1
     datafile, p, g = argv[1], int(argv[2]), int(argv[3])
     seed = int(argv[4]) if len(argv) > 4 else int(time.time())
@@ -38,26 +47,29 @@ def main(argv):
                               for j in range(cov_pt.num_cols())))
     print(f"  N^2: {(n_rows % p) ** 2 % p}\n")
 
-    start = time.time()
-    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
-    source = sampling.RandomSource(seed)
-    stats = st.Statistics(ctx, source)
-    print(f"Setup time: {time.time() - start:.2f}")
+    prof = PhaseProfiler()
+    with prof.phase("setup"):
+        ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
+        source = sampling.RandomSource(seed)
+        stats = st.Statistics(ctx, source)
+    print(f"Setup time: {prof.times['setup']:.2f}")
 
-    t0 = time.time()
-    blocks, block_sizes = st.batch_data(ctx, data)
-    print(f"Batch time: {time.time() - t0:.2f}")
+    with prof.phase("batch"):
+        blocks, block_sizes = st.batch_data(ctx, data)
+    print(f"Batch time: {prof.times['batch']:.2f}")
 
-    t0 = time.time()
-    stats.add_data(blocks, block_sizes)
-    print(f"Encryption time: {time.time() - t0:.2f}")
+    with prof.phase("encryption"):
+        stats.add_data(blocks, block_sizes)
+    print(f"Encryption time: {prof.times['encryption']:.2f}")
 
-    t0 = time.time()
-    cov_enc, mu_enc, n_enc, n2_enc = stats.compute_covariance()
-    print(f"Computation time: {time.time() - t0:.2f}")
+    tr = device_trace(trace_dir) if trace_dir else contextlib.nullcontext()
+    with prof.phase("computation"), tr:
+        cov_enc, mu_enc, n_enc, n2_enc = stats.compute_covariance()
+    print(f"Computation time: {prof.times['computation']:.2f}")
 
     sk = stats.secret_key
-    t0 = time.time()
+    prof_dec = prof.phase("decryption")
+    prof_dec.__enter__()
     ok = True
     print("\nComputed values:")
     mean_got = [int(sk.decrypt(ct).decode_slots()[0]) for ct in mu_enc]
@@ -78,8 +90,10 @@ def main(argv):
     n2_got = int(sk.decrypt(n2_enc).decode_slots()[0])
     print(f"  N^2: {n2_got}")
     ok &= n2_got == (n_rows % p) ** 2 % p
-    print(f"Decryption time: {time.time() - t0:.2f}")
-    print(f"Total time: {time.time() - start:.2f}")
+    prof_dec.__exit__(None, None, None)
+    print(f"Decryption time: {prof.times['decryption']:.2f}")
+    print(f"Total time: {prof.total():.2f}")
+    print(f"[phases] {prof.as_json()}", file=sys.stderr)
     print("MATCH" if ok else "MISMATCH")
     return 0 if ok else 1
 
