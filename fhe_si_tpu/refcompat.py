@@ -220,6 +220,39 @@ def export_keyswitch(ksw: scheme.KeySwitch,
     return refserial.write_keyswitch(out)
 
 
+def export_ciphertext_matrix(mat) -> bytes:
+    """Matrix<Ciphertext> app state (Regression/Statistics blocks) in the
+    reference's templated Matrix framing (Serialization.h:58-81):
+    ciphertexts are ScaleDown'd before export (Serialization.cpp:109-114
+    semantics, via relinearized_view)."""
+    rows = []
+    for r in range(mat.num_rows()):
+        row = []
+        for c in range(mat.num_cols()):
+            row.append(mat.at(r, c).relinearized_view().to_python_parts())
+        rows.append(row)
+    return refserial.write_ciphertext_matrix(rows)
+
+
+def import_ciphertext_matrix(buf: bytes, ctx: FheContext):
+    """Inverse of export_ciphertext_matrix -> apps.matrix.Matrix of
+    scheme.Ciphertext."""
+    from .apps.matrix import Matrix
+    from .context import ints_to_limbs
+    rows = refserial.read_ciphertext_matrix(buf)
+    out = []
+    for row in rows:
+        out_row = []
+        for parts in row:
+            arr = np.stack([
+                ints_to_limbs((part + [0] * (ctx.phim - len(part)))[:ctx.phim],
+                              ctx.n_limbs_ct)
+                for part in parts])
+            out_row.append(scheme.Ciphertext(ctx, parts=jnp.asarray(arr)))
+        out.append(out_row)
+    return Matrix(out)
+
+
 def import_secret_key(buf: bytes, ref: refserial.RefContext,
                       ctx: FheContext) -> scheme.FheSecretKey:
     dcrts = refserial.read_key(buf)

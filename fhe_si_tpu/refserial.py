@@ -228,13 +228,48 @@ def write_key(dcrts: list[dict[int, np.ndarray]]) -> bytes:
     return w.getvalue()
 
 
+def read_matrix(r: Reader, elem) -> list[list]:
+    """Matrix<T> (Serialization.h:58-81): raw u32 rows | raw u32 cols |
+    rows*cols elements row-major (NO per-row length prefix — this is the
+    templated Matrix framing, distinct from vector<vector<T>>)."""
+    rows = r.u32()
+    cols = r.u32()
+    return [[elem() for _ in range(cols)] for _ in range(rows)]
+
+
+def write_matrix(w: Writer, mat, emit):
+    rows = len(mat)
+    cols = len(mat[0]) if rows else 0
+    w.u32(rows)
+    w.u32(cols)
+    for row in mat:
+        assert len(row) == cols, "ragged matrix"
+        for item in row:
+            emit(item)
+
+
 def read_keyswitch(buf: bytes) -> list[list[dict[int, np.ndarray]]]:
-    """vector<vector<DoubleCRT>> (FHE-SI.cpp:270-276)."""
+    """KeySwitchSI::Import payload: Matrix<DoubleCRT>
+    (FHE-SI.cpp:270-276 -> Serialization.h:58-81)."""
     r = Reader(buf)
-    return r.vector(lambda: r.vector(r.doublecrt))
+    return read_matrix(r, r.doublecrt)
 
 
 def write_keyswitch(matrix) -> bytes:
     w = Writer()
-    w.vector(matrix, lambda row: w.vector(row, w.doublecrt))
+    write_matrix(w, matrix, w.doublecrt)
+    return w.getvalue()
+
+
+def read_ciphertext_matrix(buf: bytes) -> list[list[list[list[int]]]]:
+    """Matrix<Ciphertext> app state (Regression/Statistics blocks):
+    each element a vector<CiphertextPart> of ZZX polys."""
+    r = Reader(buf)
+    return read_matrix(r, lambda: r.vector(r.zzx))
+
+
+def write_ciphertext_matrix(mat) -> bytes:
+    """mat: [rows][cols] of ciphertext part-lists (to_python_parts)."""
+    w = Writer()
+    write_matrix(w, mat, lambda ct: w.vector(ct, w.zzx))
     return w.getvalue()

@@ -120,6 +120,40 @@ def test_public_key_interop(ctx, ref_chain):
     assert list(sk.decrypt(ct_b).message) == list(msg % ctx.p)
 
 
+def test_matrix_framing_and_ciphertext_matrix(ctx):
+    """Matrix<T> uses the templated framing (u32 rows | u32 cols |
+    row-major, NO per-row prefixes — Serialization.h:58-81), and a
+    Matrix<Ciphertext> app-state round trip stays usable."""
+    import struct
+
+    # framing: 2x3 matrix of ZZ(7) — one cols header only
+    w = refserial.Writer()
+    refserial.write_matrix(w, [[7] * 3, [7] * 3], w.zz)
+    buf = w.getvalue()
+    assert buf[:8] == struct.pack("<II", 2, 3)
+    body = buf[8:]
+    one = refserial.Writer(); one.zz(7)
+    assert body == one.getvalue() * 6     # elements back-to-back, no prefixes
+
+    # Matrix<Ciphertext> round trip
+    from fhe_si_tpu.apps.matrix import Matrix
+    src = sampling.RandomSource(23)
+    sk, pk = scheme.keygen(ctx, src)
+    msgs = [[src.uniform_mod_p(ctx.phim, ctx.p) for _ in range(3)]
+            for _ in range(2)]
+    mat = Matrix([[pk.encrypt(scheme.Plaintext(ctx, m), src) for m in row]
+                  for row in msgs])
+    buf = refcompat.export_ciphertext_matrix(mat)
+    back = refcompat.import_ciphertext_matrix(buf, ctx)
+    assert (back.num_rows(), back.num_cols()) == (2, 3)
+    for i in range(2):
+        for j in range(3):
+            assert back.at(i, j).to_python_parts() == \
+                mat.at(i, j).to_python_parts()
+            assert list(sk.decrypt(back.at(i, j)).message) == \
+                list(msgs[i][j] % ctx.p)
+
+
 def test_keyswitch_interop(ctx, ref_chain):
     """keyswitch matrix export -> import -> USE round trip
     (FHE-SI.cpp:270-276): the re-imported matrix produces bit-identical

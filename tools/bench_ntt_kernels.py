@@ -66,13 +66,15 @@ def main():
               f"({n_transforms/per_step:12.0f} transforms/s)", flush=True)
         return per_step
 
+    L = ctx.num_primes
+    Lk = len(ctx.ksw_rows)
     shapes = [
-        ("lift  full-chain [128,21,2002]",
-         rng.integers(0, 1 << 20, (128, 21, 2002)).astype(np.int32) % np.asarray(ctx.primes)[None, :, None],
-         (C['fwd_chunks'], C['q'], C['qinv_f']), 128 * 21),
-        ("digit subset    [1536,13,2002]",
-         rng.integers(0, 1 << 20, (1536, 13, 2002)).astype(np.int32) % np.asarray(ctx.primes)[ctx.ksw_rows][None, :, None],
-         (K['fwd_chunks'], K['q'], K['qinv_f']), 1536 * 13),
+        (f"lift  full-chain [128,{L},2002]",
+         rng.integers(0, 1 << 20, (128, L, 2002)).astype(np.int32) % np.asarray(ctx.primes)[None, :, None],
+         (C['fwd_chunks'], C['q'], C['qinv_f']), 128 * L),
+        (f"digit subset    [1536,{Lk},2002]",
+         rng.integers(0, 1 << 20, (1536, Lk, 2002)).astype(np.int32) % np.asarray(ctx.primes)[ctx.ksw_rows][None, :, None],
+         (K['fwd_chunks'], K['q'], K['qinv_f']), 1536 * Lk),
     ]
     from fhe_si_tpu.ops import pallas_ntt
     for label, x_np, tables, n_t in shapes:
@@ -99,8 +101,8 @@ def main():
                 y = pallas_ntt.modmatmul_pallas_raw(c, x, q, i, tile_o=to,
                                                     tile_b=tb)
                 return jnp.max(y, axis=-2)  # back to x's shape for chaining
-            time_one(f"pallas-raw b{tb} o{to} digit [1536,2002]x13",
-                     raw, digs, ktab, 1536 * 13)
+            time_one(f"pallas-raw b{tb} o{to} digit [1536,2002]x{Lk}",
+                     raw, digs, ktab, 1536 * Lk)
         except Exception as e:
             print(f"pallas-raw b{tb} o{to}: FAILED {type(e).__name__}",
                   flush=True)
