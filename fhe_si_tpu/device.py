@@ -243,21 +243,14 @@ class DeviceContext:
 
     # ----------------------------------------------------------- primitives
     # (pure functions of (C, ...); public eager wrappers below)
-    @cached_property
-    def use_pallas_ntt(self) -> bool:
-        # "1": opt in at production shapes; "force": any shape (parity
-        # tests exercise the full scheme pipeline through the kernel in
-        # interpret mode on CPU).  The kernel consumes the SAME
-        # chunk-table layout as the einsum path (ops/pallas_ntt.py), so
-        # flipping the flag changes no table.
-        import os
-        v = os.environ.get("FHE_SI_TPU_PALLAS_NTT")
-        return v == "force" or (v == "1" and self.phim >= 256)
-
+    # A hand-written Pallas fusion of the digit dots + Barrett-Horner
+    # recombine was built, wired, parity-tested, and MEASURED SLOWER than
+    # the XLA einsum path at every production shape (round 3,
+    # BASELINE.md "Pallas postmortem": lift 5.13 vs 3.64 ms, digit stage
+    # 8.14-9.0 vs 7.82 ms; larger tiles exceed VMEM).  XLA's own fusion
+    # + matmul scheduling is the faster schedule here, so the kernel was
+    # deleted rather than carried dark.
     def _ntt_raw(self, chunks, x, q, qinv_f):
-        if self.use_pallas_ntt:
-            from .ops import pallas_ntt
-            return pallas_ntt.modmatmul_pallas(chunks, x, q, qinv_f)
         return ntt.modmatmul(chunks, x, q, qinv_f)
 
     def _ntt(self, C, chunks_key, x):
@@ -502,13 +495,7 @@ class DeviceContext:
 
     def _digit_evals(self, C, parts_limbs):
         """Digit residues + NTTs over the keyswitch subset basis (the
-        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes).
-
-        Pallas path: the raw-digit kernel takes the [K, phim] digits
-        directly and Barrett-reduces per prime IN VMEM, so the
-        [K, L, phim] residue tensor of this stage never exists in HBM
-        (the dominant avoidable-traffic site of the keyswitch,
-        FHE-SI.cpp:241-260 cost model)."""
+        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes)."""
         from .context import MAX_KSW_PARTS
         assert parts_limbs.shape[0] <= MAX_KSW_PARTS, (
             f"keyswitching {parts_limbs.shape[0]} parts exceeds the "
@@ -518,10 +505,6 @@ class DeviceContext:
         digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
                               self.ndigits, C['q_limbs'])
         digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
-        if self.use_pallas_ntt:
-            from .ops import pallas_ntt
-            return pallas_ntt.modmatmul_pallas_raw(
-                K['fwd_chunks'], digs, K['q'], K['qinv_f'])
         res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
         return self._ntt_raw(K['fwd_chunks'], res, K['q'], K['qinv_f'])
 
