@@ -180,7 +180,7 @@ def bench_oracle(iters=5):
     return rate
 
 
-def bench_big(p=4007, log_q=170, batch=128, steps=16):
+def bench_big(p=4007, log_q=170, batch=64, steps=16):
     """Regression-scale config (phim=2002): reported to stderr only —
     compile cost makes it too slow for the default driver run."""
     import jax.numpy as jnp

@@ -24,6 +24,16 @@ from .modular import barrett, mod_mul, mod_sub
 CHUNK = 4
 CMASK = (1 << CHUNK) - 1
 
+# A/B switch for the MXU digit-matmul CRT accumulation.  Both paths are
+# bit-identical (tests/test_ops.py::test_crt_partials_mxu_parity); the
+# ELEMENTWISE path is the measured default: at the big config the MXU
+# variant's contraction is K = L = 21 padded to 128 on both matmul axes,
+# and the padding waste loses to the VPU (6.85 vs 4.66 ms/step,
+# tools/bench_crt_paths.py — BASELINE.md).  Set FHE_SI_TPU_MXU_CRT=1
+# for chains long enough to fill the MXU's contraction dim (L >~ 64).
+import os as _os
+USE_MXU_PARTIALS = _os.environ.get("FHE_SI_TPU_MXU_CRT", "0") == "1"
+
 
 def limbs_to_residues(poly, chunk_tbl, wrap, q, qinv_f):
     """[..., phim, n] limbs -> [..., L, phim] residues.
@@ -215,7 +225,7 @@ def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int | None = None,
 
     res: [..., L, phim] with the LAST row tracking E mod m_r.
     """
-    if prescaled and 'B_chunks' in t:
+    if prescaled and 'B_chunks' in t and USE_MXU_PARTIALS:
         acc, sig_raw, er = crt_partials_mxu(res, t, q, qinv_f)
     else:
         acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled)

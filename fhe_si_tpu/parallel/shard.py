@@ -90,12 +90,16 @@ class ShardedPipelines:
     # ---------------------------------------------------- shard-local pieces
     def _to_poly_psum(self, Cl, evals):
         """Local iNTT + CRT partials, one psum over 'limb', replicated
-        tail.  The MXU digit-matmul partials are exact for the FULL
-        chain contraction (|group| < 2^22 for L <= 64, ops/crt.py), so
-        the psum of shard-local partials cannot overflow."""
+        tail.  Both partials variants are exact for the FULL chain
+        contraction, so the psum of shard-local partials cannot
+        overflow; the path choice follows crt.USE_MXU_PARTIALS."""
         res = ntt.modmatmul(Cl['inv_chunks_crt'], evals, Cl['q'], Cl['qinv_f'])
-        acc, sig, er = crt.crt_partials_mxu(res, Cl['fast_crt'], Cl['q'],
-                                            Cl['qinv_f'])
+        if crt.USE_MXU_PARTIALS:
+            acc, sig, er = crt.crt_partials_mxu(res, Cl['fast_crt'], Cl['q'],
+                                                Cl['qinv_f'])
+        else:
+            acc, sig, er = crt.crt_partials(res, Cl['fast_crt'], Cl['q'],
+                                            Cl['qinv_f'], prescaled=True)
         acc, sig, er = jax.lax.psum((acc, sig, er), self.limb)
         return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
 
@@ -274,8 +278,12 @@ class CoeffShardedPipelines:
         def to_poly(evals):         # [k, L, phim_loc] -> [k, phim_loc, n]
             res = self._ntt_coeff(Cl['inv_chunks_crt'], evals, Cl['q'],
                                   Cl['qinv_f'])
-            acc, sig, er = crt.crt_partials_mxu(res, fc, Cl['q'],
-                                                Cl['qinv_f'])
+            if crt.USE_MXU_PARTIALS:
+                acc, sig, er = crt.crt_partials_mxu(res, fc, Cl['q'],
+                                                    Cl['qinv_f'])
+            else:
+                acc, sig, er = crt.crt_partials(res, fc, Cl['q'],
+                                                Cl['qinv_f'], prescaled=True)
             return crt.crt_finish(acc, sig, er, fc, dev.n)
 
         a_ev = modular.mod_mul(from_poly(a_parts), Cl['p_mod_q'],
