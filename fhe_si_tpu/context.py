@@ -155,6 +155,11 @@ class FheContext:
                 f"plaintext modulus p={p} must be prime (the slot "
                 "structure factors Phi_m over the field Z_p, "
                 "PlaintextSpace.cpp:28-30)")
+        if not 1 <= decomp_size <= 3:
+            raise ValueError(
+                f"decompSize={decomp_size} not supported: ByteDecomp "
+                "digits are int32 lanes here, so digit radix caps at "
+                "2^24 (reference default decompSize=3, FHEContext.h:86-87)")
         self.m = m
         self.log_q = log_q
         self.q = 1 << log_q

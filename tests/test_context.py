@@ -85,3 +85,5 @@ def test_rejects_bad_params():
         FheContext(m=22, log_q=20, p=2 ** 24 + 43, generator=7)  # q <= 2p
     with pytest.raises(ValueError):
         FheContext(m=36, log_q=80, p=37, generator=5)  # (Z/36)* not cyclic
+    with pytest.raises(ValueError):
+        FheContext(m=22, log_q=80, p=23, generator=7, decomp_size=4)

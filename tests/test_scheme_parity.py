@@ -107,6 +107,42 @@ def test_homomorphic_ops_parity(setup):
     assert list(kd[0].decrypt(r_d).message) == oracle.decrypt(ko[0], r_o)
 
 
+def test_decomp_size_2_parity():
+    """Non-default digit radix (decompSize=2 -> 16-bit ByteDecomp digits,
+    FHEContext.h:91-99 constructor parameter): the full mul+relin path
+    must stay bit-exact vs the oracle with the different digit count."""
+    ctx = FheContext(m=22, log_q=80, p=23, generator=7, decomp_size=2)
+    assert ctx.digit_bits == 16 and ctx.ndigits == 5
+    src_d, src_o = sampling.RandomSource(8), sampling.RandomSource(8)
+    kg_d = sampling.sample_keygen(src_d, ctx.phim, ctx.stdev, ctx.log_q)
+    kg_o = sampling.sample_keygen(src_o, ctx.phim, ctx.stdev, ctx.log_q)
+    sk_d, pk_d = scheme.keygen(ctx, kg_d)
+    sk_o, pk_o = oracle.keygen(ctx, kg_o)
+    m1 = src_d.uniform_mod_p(ctx.phim, ctx.p)
+    src_o.uniform_mod_p(ctx.phim, ctx.p)
+    m2 = src_d.uniform_mod_p(ctx.phim, ctx.p)
+    src_o.uniform_mod_p(ctx.phim, ctx.p)
+    e1d = sampling.sample_encrypt(src_d, ctx.phim, ctx.stdev)
+    e1o = sampling.sample_encrypt(src_o, ctx.phim, ctx.stdev)
+    e2d = sampling.sample_encrypt(src_d, ctx.phim, ctx.stdev)
+    e2o = sampling.sample_encrypt(src_o, ctx.phim, ctx.stdev)
+    c1_d = pk_d.encrypt(scheme.Plaintext(ctx, m1), e1d)
+    c1_o = oracle.encrypt(pk_o, m1, e1o)
+    c2_d = pk_d.encrypt(scheme.Plaintext(ctx, m2), e2d)
+    c2_o = oracle.encrypt(pk_o, m2, e2o)
+    kr_d = sampling.sample_keyswitch(src_d, ctx.phim, ctx.stdev, ctx.log_q,
+                                     3, ctx.ndigits)
+    kr_o = sampling.sample_keyswitch(src_o, ctx.phim, ctx.stdev, ctx.log_q,
+                                     3, ctx.ndigits)
+    ksw_d = scheme.KeySwitch.for_relinearization(sk_d, kr_d)
+    ksw_o = oracle.keyswitch_init_s2(sk_o, kr_o)
+    cm_d = ksw_d.apply(c1_d * c2_d)
+    cm_o = oracle.apply_keyswitch(ksw_o, oracle.mul(c1_o, c2_o))
+    assert _parts(cm_d) == cm_o.parts
+    assert list(sk_d.decrypt(cm_d).message) == list(
+        oracle.plaintext_mul(ctx, m1, m2))
+
+
 def test_part_limb_widths(setup):
     """Persistent ciphertext parts carry the narrow n_ct width; automorph
     outputs stay unreduced at the linear-basis reconstruction width
