@@ -68,11 +68,13 @@ def main(argv):
     with prof.phase("decryption"):
         print("\nComputed values:")
         ok = True
-        for i, ct in enumerate(theta_enc):
-            got = int(model.secret_key.decrypt(ct).decode_slots()[0])
+        # one fused device dispatch for every decryption
+        pts = model.secret_key.decrypt_batch(list(theta_enc) + [det_enc])
+        for i, pt in enumerate(pts[:-1]):
+            got = int(pt.decode_slots()[0])
             print(f"  theta[{i}] = {got}")
             ok &= got == theta_pt[i] % p
-        det_got = int(model.secret_key.decrypt(det_enc).decode_slots()[0])
+        det_got = int(pts[-1].decode_slots()[0])
         print(f"  Determinant: {det_got}\n")
         ok &= det_got == det_pt % p
     print(f"Decryption time: {prof.times['decryption']:.2f}")

@@ -72,22 +72,25 @@ def main(argv):
     prof_dec.__enter__()
     ok = True
     print("\nComputed values:")
-    mean_got = [int(sk.decrypt(ct).decode_slots()[0]) for ct in mu_enc]
+    # one fused device dispatch for every decryption (scheme.decrypt_batch)
+    d = cov_enc.num_rows()
+    cts = list(mu_enc) + [n_enc] + [cov_enc.at(i, j)
+                                    for i in range(d) for j in range(d)]
+    cts.append(n2_enc)
+    pts = sk.decrypt_batch(cts)
+    vals = [int(pt.decode_slots()[0]) for pt in pts]
+    mean_got, rest = vals[:len(mu_enc)], vals[len(mu_enc):]
+    n_got, cov_got, n2_got = rest[0], rest[1:1 + d * d], rest[-1]
     print("  Mean:", ", ".join(map(str, mean_got)))
     ok &= mean_got == [v % p for v in mean_pt]
-    n_got = int(sk.decrypt(n_enc).decode_slots()[0])
     print(f"  N: {n_got}")
     ok &= n_got == n_rows % p
     print("  Covariance:")
-    d = cov_enc.num_rows()
     for i in range(d):
-        row = []
+        row = cov_got[i * d:(i + 1) * d]
         for j in range(d):
-            v = int(sk.decrypt(cov_enc.at(i, j)).decode_slots()[0])
-            row.append(v)
-            ok &= v == cov_pt.at(i, j) % p
+            ok &= row[j] == cov_pt.at(i, j) % p
         print("   ", " ".join(map(str, row)))
-    n2_got = int(sk.decrypt(n2_enc).decode_slots()[0])
     print(f"  N^2: {n2_got}")
     ok &= n2_got == (n_rows % p) ** 2 % p
     prof_dec.__exit__(None, None, None)
