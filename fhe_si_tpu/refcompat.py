@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import refserial, scheme
-from .context import FheContext, int_to_limbs
+from .context import FheContext
 from .device import device_context
 from .hostmath import numbth
 

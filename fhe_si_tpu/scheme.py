@@ -15,7 +15,7 @@ import numpy as np
 
 from . import sampling
 from .context import FheContext, int_to_limbs, ints_to_limbs, limbs_to_int
-from .device import DeviceContext, device_context
+from .device import device_context
 
 HWT = 64  # secret-key Hamming weight (FHE-SI.cpp:90)
 

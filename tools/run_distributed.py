@@ -49,7 +49,6 @@ def main():
         jax.distributed.initialize(
             coordinator_address=f"127.0.0.1:{args.port}",
             num_processes=args.num_processes, process_id=args.process_id)
-    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
