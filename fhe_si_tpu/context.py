@@ -42,6 +42,13 @@ from .hostmath import numbth
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 PRIME_MAX_BITS = 20  # chain primes < 2^20: 10-bit split modmul stays int32-exact
+# Wide residue lane: primes < 2^23 (ops/ntt.py wide-lane header derives
+# every bound from exactly this cap).  Selected automatically when the
+# 20-bit window cannot fund the chain — at m = 2^14 only 9 primes q = 1
+# (mod m) exist below 2^20, but ~65 below 2^23 (the reference's 60-bit
+# NTL window never starves; the basis is an internal choice, SURVEY §1).
+PRIME_MAX_BITS_WIDE = 23
+PRIME_MIN_BITS = 14  # f32-Barrett quotient error budget needs q >= 2^14
 
 # Plaintext modulus cap.  p rides very different lanes than the chain
 # primes: it enters the device only as p mod q_l (evaluation domain),
@@ -85,13 +92,16 @@ def ints_to_limbs(values, n: int) -> np.ndarray:
 
 
 def exact_modmatmul_f64(a: np.ndarray, b: np.ndarray, q: int,
-                        k_chunk: int = 2048) -> np.ndarray:
-    """Exact (a @ b) mod q for entries < q < 2^20 using float64 BLAS.
+                        k_chunk: int | None = None) -> np.ndarray:
+    """Exact (a @ b) mod q for entries < q using float64 BLAS.
 
     Per-chunk products are < q^2 * k_chunk < 2^52 — exactly representable
     in f64, so dgemm is exact; chunks are reduced mod q before summing.
-    ~100x faster than numpy's loop-based int64 matmul on large tables.
+    The chunk length is derived from q (2048 for 20-bit primes, 64 for
+    23-bit).  ~100x faster than numpy's loop-based int64 matmul.
     """
+    if k_chunk is None:
+        k_chunk = max(1, (1 << 52) // (q * q))
     out = np.zeros((a.shape[0], b.shape[1]), dtype=np.int64)
     af = a.astype(np.float64)
     bf = b.astype(np.float64)
@@ -140,7 +150,8 @@ class FheContext:
                  decomp_size: int = 3, xi: int = 1, stdev: float = 3.2,
                  primes: list[int] | None = None,
                  roots: list[int] | None = None,
-                 num_primes_multiple: int = 1):
+                 num_primes_multiple: int = 1,
+                 prime_bits: int | None = None):
         if p >= 1 << PLAINTEXT_MAX_BITS:
             raise NotImplementedError(
                 f"plaintext modulus p={p} >= 2^{PLAINTEXT_MAX_BITS} is not "
@@ -155,11 +166,13 @@ class FheContext:
                 f"plaintext modulus p={p} must be prime (the slot "
                 "structure factors Phi_m over the field Z_p, "
                 "PlaintextSpace.cpp:28-30)")
-        if not 1 <= decomp_size <= 3:
+        if not 1 <= decomp_size <= 8:
             raise ValueError(
                 f"decompSize={decomp_size} not supported: ByteDecomp "
-                "digits are int32 lanes here, so digit radix caps at "
-                "2^24 (reference default decompSize=3, FHEContext.h:86-87)")
+                "digits ride int32 lanes (<= 3 bytes) or 16-bit limb "
+                "planes (4-8 bytes, ops/limbs.byte_decomp_planes); the "
+                "reference constructor accepts any value but every "
+                "shipped binary uses the default 3 (FHEContext.h:86-99)")
         self.m = m
         self.log_q = log_q
         self.q = 1 << log_q
@@ -186,17 +199,47 @@ class FheContext:
         if primes is None:
             budget = (2 * log_q * math.log(2) + math.log(p)
                       + 2 * math.log(self.phim) + math.log(2) + math.log(max(xi, 1)))
-            primes = numbth.generate_prime_chain(
-                m, budget, max_bits=PRIME_MAX_BITS, exclude=(p,))
-            # +1 redundant modulus for single-pass CRT reconstruction
-            extra = 1
-            if (len(primes) + extra) % num_primes_multiple:
-                # pad so the CRT-limb axis shards evenly over a device mesh
-                extra += (num_primes_multiple
-                          - (len(primes) + extra) % num_primes_multiple)
-            primes = numbth.extend_prime_chain(primes, m, extra, exclude=(p,))
+
+            def build_chain(max_bits):
+                chain = numbth.generate_prime_chain(
+                    m, budget, max_bits=max_bits, exclude=(p,))
+                # +1 redundant modulus for single-pass CRT reconstruction
+                extra = 1
+                if (len(chain) + extra) % num_primes_multiple:
+                    # pad so the CRT-limb axis shards evenly over a mesh
+                    extra += (num_primes_multiple
+                              - (len(chain) + extra) % num_primes_multiple)
+                return numbth.extend_prime_chain(chain, m, extra, exclude=(p,))
+
+            if prime_bits is not None:
+                primes = build_chain(prime_bits)
+            else:
+                # narrow 20-bit lane when the window funds the chain
+                # (2 Barrett steps/modmul, 6 MXU dots/transform); fall
+                # back to the wide 23-bit lane when it starves (m >= 2^14)
+                try:
+                    primes = build_chain(PRIME_MAX_BITS)
+                except ValueError:
+                    primes = build_chain(PRIME_MAX_BITS_WIDE)
         self.primes = np.array(primes, dtype=np.int64)
         self.num_primes = len(primes)
+        self.prime_bits = max(int(q).bit_length() for q in primes)
+        if self.prime_bits > PRIME_MAX_BITS_WIDE:
+            raise ValueError(
+                f"chain prime exceeds 2^{PRIME_MAX_BITS_WIDE}: the wide "
+                "residue lane's int8 digit bounds assume q < 2^23 "
+                "(ops/ntt.py)")
+        if min(int(q) for q in primes) < (1 << PRIME_MIN_BITS):
+            raise ValueError(
+                f"chain prime below 2^{PRIME_MIN_BITS}: the f32-Barrett "
+                "quotient error budget assumes q >= 2^14 (ops/modular.py)")
+        # wide lane: 4x6-bit digit machinery throughout (ops/ntt.py)
+        self.wide = self.prime_bits > PRIME_MAX_BITS
+        if self.wide and MAX_KSW_PARTS * self.ndigits > 64:
+            raise ValueError(
+                f"wide lane caps keyswitch rows at 64 (mod_dot unreduced "
+                f"accumulation); MAX_KSW_PARTS*ndigits = "
+                f"{MAX_KSW_PARTS * self.ndigits} — increase decompSize")
         self.prime_product = math.prod(int(q) for q in primes)
         # The LAST chain prime is a redundant modulus (Shenoy-Kumaresan):
         # the value-carrying CRT basis is primes[:-1] (whose product meets
@@ -228,6 +271,13 @@ class FheContext:
         # reconstruction, ScaleDown/decrypt rounding, unreduced automorph)
         # carry wider per-basis widths (fast_crt_tables 'n_rec').
         self.n_limbs_ct = (log_q + LIMB_BITS) // LIMB_BITS
+
+        # Power-of-two m: the scheme's NTTs run through the two-level
+        # Cooley-Tukey factorization (ops/ntt_ct.py) — O(L*m) tables
+        # instead of the dense O(L*phim^2) family, the only memory shape
+        # that scales past phim ~ 4k (the reference scales with Bluestein
+        # the same way: O(m) memory at any m, bluestein.cpp:92-144).
+        self.use_ct = (m & (m - 1) == 0) and m >= 8
 
         # ---- plaintext space ----
         self._init_plaintext_space()
@@ -266,8 +316,6 @@ class FheContext:
             return
         self.slot_degree = 1
         self.total_slots = self.phim
-        # usableSlots = largest power of two <= totalSlots (PlaintextSpace.cpp:37-42)
-        self.usable_slots = 1 << (self.total_slots.bit_length() - 1)
 
         zeta = numbth.find_element_of_order(p, m)  # canonical primitive m-th root
         pow_zeta = np.empty(m, dtype=np.int64)
@@ -278,44 +326,70 @@ class FheContext:
         self.zeta = zeta
         self._pow_zeta = pow_zeta
 
-        # slot exponents t_j with zeta_j = zeta^(t_j), t_j = g^j mod m
-        t = 1
-        slot_exp = []
-        for _ in range(self.total_slots):
-            slot_exp.append(t)
-            t = t * g % m
-        if len(set(slot_exp)) != self.total_slots:
+        # Slot exponents t_j with zeta_j = zeta^(t_j), ordered by g-orbit
+        # cycles so automorphism-by-g is a cyclic shift within each cycle
+        # (the property the reference establishes with its Frobenius-map
+        # reordering, PlaintextSpace.cpp:69-110).  When g generates the
+        # whole of (Z/mZ)* this is one cycle t_j = g^j — every shipped
+        # reference config.  For power-of-two m >= 8 the group is NOT
+        # cyclic (Z/2 x Z/2^(k-2)), so no single g can generate it; the
+        # slots split into total/ord(g) cycles (coset representatives in
+        # ascending residue order) and usableSlots covers the first cycle.
+        ord_g = numbth.multiplicative_order(g, m)
+        n_cycles = self.total_slots // ord_g
+        if n_cycles > 1 and numbth.is_cyclic_group(m):
             raise ValueError(
                 f"generator {g} does not generate (Z/{m}Z)*: slot cycle is shorter "
                 "than the slot count")
+        seen = np.zeros(m, dtype=bool)
+        slot_exp = []
+        for rep in self.zms:
+            if seen[rep]:
+                continue
+            t = int(rep)
+            for _ in range(ord_g):
+                slot_exp.append(t)
+                seen[t] = True
+                t = t * g % m
+        assert len(slot_exp) == self.total_slots
+        self.slot_cycles = n_cycles
         self.slot_exponents = np.array(slot_exp, dtype=np.int64)
+        # usableSlots = largest power of two <= the g-cycle the apps can
+        # rotate over (= totalSlots when g generates, PlaintextSpace.cpp:37-42)
+        self.usable_slots = 1 << (ord_g.bit_length() - 1)
 
-        # Decode matrix D[j, c] = zeta_j^c  (evaluation at slot roots).
+    # Decode matrix D[j, c] = zeta_j^c (evaluation at slot roots) and
+    # embed matrix E[:, j] = Lagrange basis L_j(X) coefficients mod p,
+    # L_j = (Phi_m/(X - zeta_j)) / Phi_m'(zeta_j): the CRT coefficients of
+    # PlaintextSpace::Init (PlaintextSpace.cpp:44-51) for linear factors.
+    # Lazy: the [phim, phim] tables cost O(phim^2) memory (0.5 GB at
+    # m = 2^14) and only the slot-packing paths need them — Test_AddMul
+    # style direct-coefficient workloads never build them.
+    @cached_property
+    def decode_matrix(self) -> np.ndarray:
         c = np.arange(self.phim, dtype=np.int64)
-        self.decode_matrix = pow_zeta[(self.slot_exponents[:, None] * c[None, :]) % m]
+        return self._pow_zeta[(self.slot_exponents[:, None] * c[None, :]) % self.m]
 
-        # Embed matrix E[:, j] = Lagrange basis L_j(X) coefficients mod p,
-        # L_j = (Phi_m/(X - zeta_j)) / Phi_m'(zeta_j): the CRT coefficients
-        # of PlaintextSpace::Init (PlaintextSpace.cpp:44-51) for linear factors.
-        phi_mod_p = [c % p for c in self.phim_x]
-        E = np.zeros((self.phim, self.total_slots), dtype=np.int64)
-        for j in range(self.total_slots):
-            zj = int(pow_zeta[slot_exp[j]])
-            # synthetic division of Phi_m by (X - zeta_j) mod p
-            quot = [0] * self.phim
-            carry = phi_mod_p[self.phim]  # leading coeff (=1)
-            for d in range(self.phim - 1, -1, -1):
-                quot[d] = carry
-                carry = (phi_mod_p[d] + carry * zj) % p
-            if carry != 0:
-                raise AssertionError("zeta_j is not a root of Phi_m mod p")
-            denom = 0
-            for d in range(self.phim - 1, -1, -1):
-                denom = (denom * zj + quot[d]) % p
-            inv = numbth.modinv(denom, p)
-            for d in range(self.phim):
-                E[d, j] = quot[d] * inv % p
-        self.embed_matrix = E
+    @cached_property
+    def embed_matrix(self) -> np.ndarray:
+        p, phim = self.p, self.phim
+        zj = self._pow_zeta[self.slot_exponents]            # [S]
+        phi = np.array([c % p for c in self.phim_x], dtype=np.int64)
+        # synthetic division of Phi_m by every (X - zeta_j) at once;
+        # carry*zj < p^2 < 2^60 stays int64-exact
+        quot = np.empty((phim, self.total_slots), dtype=np.int64)
+        carry = np.full(self.total_slots, phi[phim] % p, dtype=np.int64)
+        for d in range(phim - 1, -1, -1):
+            quot[d] = carry
+            carry = (phi[d] + carry * zj) % p
+        if carry.any():
+            raise AssertionError("zeta_j is not a root of Phi_m mod p")
+        denom = np.zeros(self.total_slots, dtype=np.int64)
+        for d in range(phim - 1, -1, -1):
+            denom = (denom * zj + quot[d]) % p
+        inv = np.array([numbth.modinv(int(x), p) for x in denom],
+                       dtype=np.int64)
+        return quot * inv[None, :] % p
 
     def _init_plaintext_space_ext(self):
         """Extension-field slots (ord_m(p) = d > 1): factor Phi_m mod p by
@@ -333,6 +407,7 @@ class FheContext:
         S = self.phim // d
         self.slot_degree = d
         self.total_slots = S
+        self.slot_cycles = 1
         # usableSlots = largest power of two <= totalSlots (PlaintextSpace.cpp:37-42)
         self.usable_slots = 1 << (S.bit_length() - 1)
         self.slot_exponents = np.array(slot_exps, dtype=np.int64)
@@ -417,6 +492,19 @@ class FheContext:
                 self.decode_tensors.reshape(S * d, self.phim), coeffs, self.p)
             return flat.reshape(S, d)
         return matmul_mod_blocked(self.decode_matrix, coeffs, self.p)
+
+    def rotate_slots(self, slots: np.ndarray, k: int) -> np.ndarray:
+        """Slot rotation by k positions (Plaintext::operator>>= semantics,
+        Plaintext.h:88-97): one cyclic roll when g generates the group;
+        with multiple g-orbit cycles (power-of-two m) each cycle rolls
+        independently — the action the ciphertext automorphism X -> X^(g^k)
+        induces on the slot grid."""
+        slots = np.asarray(slots)
+        if self.slot_cycles == 1:
+            return np.roll(slots, -k, axis=0)
+        cyc = self.total_slots // self.slot_cycles
+        shaped = slots.reshape((self.slot_cycles, cyc) + slots.shape[1:])
+        return np.roll(shaped, -k, axis=1).reshape(slots.shape)
 
     # -------------------------------------------------------------- automorph
     def automorph_perm(self, k: int) -> np.ndarray:
@@ -613,6 +701,13 @@ class FheContext:
         G <= 3 — but the values are COMPUTED per context, not assumed.
         """
         m, phim = self.m, self.phim
+        if m & (m - 1) == 0 and m >= 4:
+            # m = 2^k: Phi_m = X^phim + 1, rowZ(phim + r) = -X^r.  Each
+            # k in [phim, 2*phim-2] contributes exactly one |-1| to
+            # column k-phim (G = 2); every row is a signed monomial
+            # (H = RM = 1).  The generic sweep below computes the same
+            # values — this is the O(1) shortcut for phim up to 2^15.
+            return dict(G=2, H=1, RM=1)
         if m == phim + 1:          # m prime: X^phim = -(1+X+...+X^(phim-1))
             # closed form avoids the dense row sweep; rowZ(k<phim) = X^k
             colsum = np.ones(phim, dtype=np.int64)       # the X^phim row
@@ -799,4 +894,5 @@ class FheContext:
     def __repr__(self):
         return (f"FheContext(m={self.m}, logQ={self.log_q}, p={self.p}, "
                 f"g={self.generator}, phim={self.phim}, L={self.num_primes}, "
-                f"n_limbs={self.n_limbs})")
+                f"n_limbs={self.n_limbs}, lane={self.prime_bits}b"
+                f"{', ct' if self.use_ct else ''})")

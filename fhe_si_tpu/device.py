@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .context import FheContext, int_to_limbs
-from .ops import crt, limbs as lb, modular, ntt
+from .ops import crt, limbs as lb, modular, ntt, ntt_ct
 
 
 def _enable_persistent_compile_cache():
@@ -66,8 +66,15 @@ class DeviceContext:
         self.log_q = ctx.log_q
         self.digit_bits = ctx.digit_bits
         self.ndigits = ctx.ndigits
+        # Residue lane (trace-time constant): wide = 23-bit primes with
+        # 4x6-bit digit machinery (ops/ntt.py, ops/modular.py)
+        self.wide = ctx.wide
+        # Transform family (trace-time constant): power-of-two m rides
+        # the two-level Cooley-Tukey tables (O(L*m) memory) instead of
+        # dense O(L*phim^2) DFT matrices — the only family that scales
+        # past phim ~ 4k (ops/ntt_ct.py)
+        self.use_ct = ctx.use_ct
 
-        fwd, inv = ctx.ntt_tables
         gt = ctx.garner_tables
         ft = ctx.fast_crt_tables
         rt = ctx.residue_tables
@@ -95,39 +102,82 @@ class DeviceContext:
         # (~rows/L of the full tables per subset).
         # full chunk tables are uploaded ONCE; subset tables are gathered
         # ON DEVICE (jnp.take) — no extra host chunking or tunnel transfer
-        fwd_chunks_dev = jnp.asarray(ntt.chunk_matrix(fwd))
-        inv_chunks_dev = jnp.asarray(ntt.chunk_matrix(inv))
+        if ctx.use_ct:
+            ctt = ntt_ct.CtNttTables(ctx.m, ctx.primes, ctx.roots,
+                                     wide=ctx.wide)
+            self.ct_split = (ctt.N1, ctt.N2)
+            ct_full = ctt.pack()
+            fwd_chunks_dev = inv_chunks_dev = None
+        else:
+            fwd, inv = ctx.ntt_tables
+            fwd_chunks_dev = jnp.asarray(ntt.chunk_matrix(fwd, ctx.wide))
+            inv_chunks_dev = jnp.asarray(ntt.chunk_matrix(inv, ctx.wide))
+            ct_full = None
+
+        def binv_scale(fast_crt_np):
+            """Per-row CRT premultiplier: binv on value rows, 1 on the
+            redundant row so crt_partials' er stays raw."""
+            binv = np.asarray(fast_crt_np['binv'], dtype=np.int64)
+            return np.where(binv == 0, 1, binv)
 
         def prescale_inv(planes, fast_crt_np, q_np):
-            """iNTT planes with binv folded in (value rows; redundant row
-            keeps scale 1 so crt_partials' er stays raw) — re-chunked on
+            """Dense iNTT planes with binv folded in — re-chunked on
             device, so no extra host work or tunnel upload."""
-            binv = np.asarray(fast_crt_np['binv'], dtype=np.int64)
-            scale = np.where(binv == 0, 1, binv)  # binv==0 only at redundant
             return ntt.prescale_planes(
                 planes,
-                as32(scale[:, None, None]),
+                as32(binv_scale(fast_crt_np)[:, None, None]),
                 as32(q_np[:, None, None]),
                 jnp.asarray((1.0 / q_np[:, None, None]).astype(np.float32)))
+
+        def ct_with_crt(pack, fast_crt_np, q_np):
+            """CT pack + 'chirp_inv_crt': the basis binv folded into the
+            inverse chirp (the last elementwise stage of ct_inv) — the
+            CT analog of prescale_inv."""
+            q_dev = as32(q_np[:, None])
+            qi = jnp.asarray((1.0 / q_np[:, None]).astype(np.float32))
+            pack = dict(pack)
+            pack['chirp_inv_crt'] = modular.mod_mul(
+                pack['chirp_inv'], as32(binv_scale(fast_crt_np)[:, None]),
+                q_dev, qi, ctx.wide)
+            return pack
+
+        def ct_subset_pack(rows_dev):
+            """Row-gather of the full CT pack onto a subset basis."""
+            return dict(
+                q=jnp.take(ct_full['q'], rows_dev, axis=0),
+                qinv_f=jnp.take(ct_full['qinv_f'], rows_dev, axis=0),
+                t1=jnp.take(ct_full['t1'], rows_dev, axis=1),
+                t2=jnp.take(ct_full['t2'], rows_dev, axis=1),
+                t1i=jnp.take(ct_full['t1i'], rows_dev, axis=1),
+                t2i=jnp.take(ct_full['t2i'], rows_dev, axis=1),
+                tw=jnp.take(ct_full['tw'], rows_dev, axis=1),
+                twi=jnp.take(ct_full['twi'], rows_dev, axis=1),
+                chirp=jnp.take(ct_full['chirp'], rows_dev, axis=0),
+                chirp_inv=jnp.take(ct_full['chirp_inv'], rows_dev, axis=0))
 
         def subset_tables(rows, fast_crt_np):
             if len(rows) >= ctx.num_primes:
                 return None
             rows_dev = jnp.asarray(rows, dtype=jnp.int32)
             q_np = ctx.primes[rows]
-            return dict(
+            t = dict(
                 rows=rows_dev,
                 q=as32(q_np[:, None]),
                 qinv_f=jnp.asarray(
                     (1.0 / q_np[:, None]).astype(np.float32)),
-                fwd_chunks=jnp.take(fwd_chunks_dev, rows_dev, axis=1),
-                # subset iNTTs always feed the subset CRT reconstruction:
-                # store them with the subset-basis binv folded in
-                inv_chunks=prescale_inv(
-                    jnp.take(inv_chunks_dev, rows_dev, axis=1),
-                    fast_crt_np, q_np),
                 chunk_tbl=as32(rt['chunk_tbl'][:, rows]),
                 fast_crt=fast_crt_dev(fast_crt_np))
+            if ctx.use_ct:
+                t['ct'] = ct_with_crt(ct_subset_pack(rows_dev),
+                                      fast_crt_np, q_np)
+            else:
+                t['fwd_chunks'] = jnp.take(fwd_chunks_dev, rows_dev, axis=1)
+                # subset iNTTs always feed the subset CRT reconstruction:
+                # store them with the subset-basis binv folded in
+                t['inv_chunks'] = prescale_inv(
+                    jnp.take(inv_chunks_dev, rows_dev, axis=1),
+                    fast_crt_np, q_np)
+            return t
 
         ksw_tables = subset_tables(ctx.ksw_rows, ctx.ksw_fast_crt_tables)
         lin_tables = (ksw_tables if np.array_equal(ctx.lin_rows, ctx.ksw_rows)
@@ -137,12 +187,6 @@ class DeviceContext:
             q=as32(ctx.primes[:, None]),
             qinv_f=jnp.asarray((1.0 / ctx.primes[:, None]).astype(np.float32)),
             p_mod_q=as32((ctx.p % ctx.primes)[:, None]),
-            fwd_chunks=fwd_chunks_dev,
-            inv_chunks=inv_chunks_dev,
-            # full-chain iNTT with the full-basis binv folded in, for the
-            # to_poly sites (raw 'inv_chunks' stays for the public
-            # ntt_inv / SingleCrt conversions)
-            inv_chunks_crt=prescale_inv(inv_chunks_dev, ft, ctx.primes),
             garner=dict(
                 invq=as32(gt['invq']), W=as32(gt['W']), Wh=as32(gt['Wh']),
                 P_limbs=as32(gt['P_limbs']),
@@ -166,6 +210,19 @@ class DeviceContext:
             # p as limbs for the large-p decrypt tail (mod_p_bounded)
             p_limbs=jnp.asarray(int_to_limbs(ctx.p, 4)),
         )
+        if ctx.use_ct:
+            # full-chain CT pack; 'chirp_inv_crt' carries the full-basis
+            # binv (raw 'chirp_inv' stays for the public ntt_inv /
+            # SingleCrt conversions)
+            self.C['ct'] = ct_with_crt(ct_full, ft, ctx.primes)
+        else:
+            self.C['fwd_chunks'] = fwd_chunks_dev
+            self.C['inv_chunks'] = inv_chunks_dev
+            # full-chain iNTT with the full-basis binv folded in, for the
+            # to_poly sites (raw 'inv_chunks' stays for the public
+            # ntt_inv / SingleCrt conversions)
+            self.C['inv_chunks_crt'] = prescale_inv(inv_chunks_dev, ft,
+                                                    ctx.primes)
         # scalar constants (fine to embed in HLO)
         self.p = jnp.int32(ctx.p)
         self.pinv_f = jnp.float32(1.0 / ctx.p)
@@ -253,19 +310,35 @@ class DeviceContext:
     def _ntt_raw(self, chunks, x, q, qinv_f):
         return ntt.modmatmul(chunks, x, q, qinv_f)
 
-    def _ntt(self, C, chunks_key, x):
-        return self._ntt_raw(C[chunks_key], x, C['q'], C['qinv_f'])
+    def _fwd_t(self, T, x):
+        """Forward transform over a basis-table dict: dense MXU DFT
+        matmul or the two-level Cooley-Tukey factorization — selected by
+        the table family (static per context)."""
+        if 'ct' in T:
+            return ntt_ct.ct_fwd(T['ct'], x, *self.ct_split)
+        return self._ntt_raw(T['fwd_chunks'], x, T['q'], T['qinv_f'])
 
-    @staticmethod
-    def _full_as_subset(C):
+    def _inv_crt_t(self, T, x):
+        """Inverse transform with the basis binv prescaled in (feeds the
+        single-pass CRT reconstruction with prescaled=True)."""
+        if 'ct' in T:
+            return ntt_ct.ct_inv(T['ct'], x, *self.ct_split,
+                                 chirp_key='chirp_inv_crt')
+        return self._ntt_raw(T['inv_chunks'], x, T['q'], T['qinv_f'])
+
+    def _full_as_subset(self, C):
         # inv_chunks_crt: subset inv tables are binv-prescaled, so the
         # full-chain fallback must be too (_to_poly_sub reconstructs with
         # prescaled=True)
-        return dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
-                    fwd_chunks=C['fwd_chunks'],
-                    inv_chunks=C['inv_chunks_crt'],
-                    chunk_tbl=C['chunk_tbl'],
-                    fast_crt=C['fast_crt'])
+        t = dict(rows=None, q=C['q'], qinv_f=C['qinv_f'],
+                 chunk_tbl=C['chunk_tbl'],
+                 fast_crt=C['fast_crt'])
+        if self.use_ct:
+            t['ct'] = C['ct']
+        else:
+            t['fwd_chunks'] = C['fwd_chunks']
+            t['inv_chunks'] = C['inv_chunks_crt']
+        return t
 
     def _ksw_tables(self, C):
         """The keyswitch-path tables: the subset basis when it saves rows,
@@ -297,13 +370,14 @@ class DeviceContext:
             "wrap-basis primes do not match the subset tables"
         wrap = self._wrap_const(primes_np, poly_limbs.shape[-1])
         res = crt.limbs_to_residues(poly_limbs, T['chunk_tbl'], wrap,
-                                    T['q'], T['qinv_f'])
-        return self._ntt_raw(T['fwd_chunks'], res, T['q'], T['qinv_f'])
+                                    T['q'], T['qinv_f'], self.wide)
+        return self._fwd_t(T, res)
 
     def _to_poly_sub(self, T, evals):
-        res = self._ntt_raw(T['inv_chunks'], evals, T['q'], T['qinv_f'])
+        res = self._inv_crt_t(T, evals)
         return crt.residues_to_limbs_fast(res, T['fast_crt'], T['q'],
-                                          T['qinv_f'], prescaled=True)
+                                          T['qinv_f'], prescaled=True,
+                                          wide=self.wide)
 
     @staticmethod
     def _gather_rows(T, evals_full, axis=-2):
@@ -314,19 +388,15 @@ class DeviceContext:
         return jnp.take(evals_full, T['rows'], axis=axis)
 
     def _from_poly(self, C, poly_limbs):
-        wrap = self._wrap_const(self.ctx.primes, poly_limbs.shape[-1])
-        res = crt.limbs_to_residues(poly_limbs, C['chunk_tbl'], wrap,
-                                    C['q'], C['qinv_f'])
-        return self._ntt(C, 'fwd_chunks', res)
+        return self._from_poly_sub(self._full_as_subset(C), poly_limbs,
+                                   self.ctx.primes)
 
     def _to_poly(self, C, evals):
-        res = self._ntt(C, 'inv_chunks_crt', evals)
-        return crt.residues_to_limbs_fast(res, C['fast_crt'], C['q'],
-                                          C['qinv_f'], prescaled=True)
+        return self._to_poly_sub(self._full_as_subset(C), evals)
 
     def _small_to_evals(self, C, coeffs):
         res = coeffs[..., None, :] % C['q']
-        return self._ntt(C, 'fwd_chunks', res)
+        return self._fwd_t(self._full_as_subset(C), res)
 
     def _reduce_signed(self, C, limbs_arr):
         """Signed Reduce mod 2^logQ, emitted at the narrow ciphertext
@@ -337,10 +407,15 @@ class DeviceContext:
 
     # public eager versions (used by tools/tests; jit-free)
     def ntt_fwd(self, x):
-        return self._ntt(self.C, 'fwd_chunks', x)
+        return self._fwd_t(self._full_as_subset(self.C), x)
 
     def ntt_inv(self, x):
-        return self._ntt(self.C, 'inv_chunks', x)
+        """RAW full-chain inverse (no CRT prescale): the public
+        Cmodulus::iFFT analog for SingleCrt conversions and tests."""
+        if self.use_ct:
+            return ntt_ct.ct_inv(self.C['ct'], x, *self.ct_split)
+        return self._ntt_raw(self.C['inv_chunks'], x, self.C['q'],
+                             self.C['qinv_f'])
 
     def from_poly(self, poly_limbs):
         return self._from_poly(self.C, poly_limbs)
@@ -365,14 +440,15 @@ class DeviceContext:
         # (context.lin_value_primes bound; FHE-SI.cpp:10-36 semantics)
         T = self._lin_tables(C)
         pk_sub = self._gather_rows(T, pk_evals)
-        r_evals = self._ntt_raw(T['fwd_chunks'], r[..., None, :] % T['q'],
-                                T['q'], T['qinv_f'])
+        r_evals = self._fwd_t(T, r[..., None, :] % T['q'])
         e_res = errors[..., None, :] % T['q']
         e_evals = modular.mod_mul(
-            self._ntt_raw(T['fwd_chunks'], e_res, T['q'], T['qinv_f']),
-            self._gather_rows(T, C['p_mod_q']), T['q'], T['qinv_f'])
+            self._fwd_t(T, e_res),
+            self._gather_rows(T, C['p_mod_q']), T['q'], T['qinv_f'],
+            self.wide)
         ct_evals = modular.mod_add(
-            modular.mod_mul(pk_sub, r_evals[None], T['q'], T['qinv_f']),
+            modular.mod_mul(pk_sub, r_evals[None], T['q'], T['qinv_f'],
+                            self.wide),
             e_evals, T['q'])
         parts = self._to_poly_sub(T, ct_evals)
         nw = parts.shape[-1]     # lin-basis recon width; q/p << 2^(16*nw)
@@ -404,7 +480,8 @@ class DeviceContext:
         T = self._lin_tables(C)
         part_evals = self._from_poly_sub(T, parts_limbs, self._lin_primes_np())
         sk_sub = self._gather_rows(T, sk_evals)
-        prod = modular.mod_mul(part_evals, sk_sub, T['q'], T['qinv_f'])
+        prod = modular.mod_mul(part_evals, sk_sub, T['q'], T['qinv_f'],
+                               self.wide)
         acc = prod[0]
         for i in range(1, prod.shape[0]):
             acc = modular.mod_add(acc, prod[i], T['q'])
@@ -441,13 +518,14 @@ class DeviceContext:
 
     def _tensor_mul(self, C, a_parts, b_parts):
         a_ev = modular.mod_mul(self._from_poly(C, a_parts), C['p_mod_q'],
-                               C['q'], C['qinv_f'])
+                               C['q'], C['qinv_f'], self.wide)
         b_ev = self._from_poly(C, b_parts)
         na, nb = a_ev.shape[0], b_ev.shape[0]
         out = [None] * (na + nb - 1)
         for i in range(na):
             for j in range(nb):
-                pr = modular.mod_mul(a_ev[i], b_ev[j], C['q'], C['qinv_f'])
+                pr = modular.mod_mul(a_ev[i], b_ev[j], C['q'], C['qinv_f'],
+                                     self.wide)
                 k = i + j
                 out[k] = pr if out[k] is None else modular.mod_add(
                     out[k], pr, C['q'])
@@ -467,7 +545,8 @@ class DeviceContext:
         uniform groups (tensored evals; s in {1, q-1} encodes +/-1)."""
         def run(C, tens, s_mod):
             # tens [G, k, parts, L, phim]; s_mod [G, k, 1, L, 1]
-            prod = modular.mod_mul(tens, s_mod, C['q'], C['qinv_f'])
+            prod = modular.mod_mul(tens, s_mod, C['q'], C['qinv_f'],
+                                   self.wide)
             acc = prod[:, 0]
             for t in range(1, prod.shape[1]):
                 acc = modular.mod_add(acc, prod[:, t], C['q'])
@@ -502,11 +581,32 @@ class DeviceContext:
             f"MAX_KSW_PARTS={MAX_KSW_PARTS} cap the subset basis is "
             "provisioned for (context.exact_bounds['ksw'])")
         K = self._ksw_tables(C)
-        digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
-                              self.ndigits, C['q_limbs'])
-        digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
-        res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
-        return self._ntt_raw(K['fwd_chunks'], res, K['q'], K['qinv_f'])
+        if self.digit_bits <= 24:
+            digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
+                                  self.ndigits, C['q_limbs'])
+            digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
+            res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
+        else:
+            # decompSize >= 4: digits ride 16-bit limb planes; convert
+            # to residues with a Horner over planes (x2^16 mod q runs as
+            # int32-exact shift hops: 10+6 narrow, 6+6+4 wide)
+            digs = lb.byte_decomp_planes(parts_limbs, self.log_q,
+                                         self.digit_bits, self.ndigits,
+                                         C['q_limbs'])
+            digs = jnp.moveaxis(digs, -2, 1)       # [k, nd, phim, planes]
+            digs = digs.reshape(-1, self.phim, digs.shape[-1])
+            q, qinv = K['q'], K['qinv_f']
+            pl = digs[:, None, :, :]               # [rows, 1, phim, planes]
+            res = modular.barrett(pl[..., -1], q, qinv)
+            for t in range(pl.shape[-1] - 2, -1, -1):
+                if self.wide:
+                    res = modular.barrett(res << 6, q, qinv)
+                    res = modular.barrett(res << 6, q, qinv)
+                    res = modular.barrett((res << 4) + pl[..., t], q, qinv)
+                else:
+                    res = modular.barrett(res << 10, q, qinv)
+                    res = modular.barrett((res << 6) + pl[..., t], q, qinv)
+        return self._fwd_t(K, res)
 
     @cached_property
     def byte_decomp_op(self):
@@ -520,10 +620,8 @@ class DeviceContext:
         mat = (matrix_evals if K['rows'] is None
                else jnp.take(matrix_evals, K['rows'], axis=2))
         acc = modular.mod_dot(mat, digit_evals[None], K['q'], K['qinv_f'],
-                              axis=1)
-        res = self._ntt_raw(K['inv_chunks'], acc, K['q'], K['qinv_f'])
-        limbs = crt.residues_to_limbs_fast(res, K['fast_crt'], K['q'],
-                                           K['qinv_f'], prescaled=True)
+                              axis=1, wide=self.wide)
+        limbs = self._to_poly_sub(K, acc)
         return self._reduce_signed(C, limbs)
 
     @cached_property
@@ -579,7 +677,7 @@ class DeviceContext:
     def mul_scalar_tensored_op(self):
         return self._wrap(
             lambda C, evals, s_mod: modular.mod_mul(evals, s_mod, C['q'],
-                                                    C['qinv_f']))
+                                                    C['qinv_f'], self.wide))
 
     @cached_property
     def mul_const_op(self):
@@ -588,7 +686,7 @@ class DeviceContext:
             T, primes = self._lin_tables_for_width(C, parts_limbs.shape[-1])
             ev = self._from_poly_sub(T, parts_limbs, primes)
             ev = modular.mod_mul(ev, self._gather_rows(T, const_evals)[None],
-                                 T['q'], T['qinv_f'])
+                                 T['q'], T['qinv_f'], self.wide)
             return self._reduce_signed(C, self._to_poly_sub(T, ev))
         return self._wrap(run)
 
@@ -596,7 +694,7 @@ class DeviceContext:
     def mul_const_tensored_op(self):
         return self._wrap(
             lambda C, evals, const_evals: modular.mod_mul(
-                evals, const_evals[None], C['q'], C['qinv_f']))
+                evals, const_evals[None], C['q'], C['qinv_f'], self.wide))
 
     @cached_property
     def add_const_op(self):
@@ -616,7 +714,8 @@ class DeviceContext:
         ones = jnp.ones((self.L, self.phim), dtype=jnp.int32)
         c1_evals = self._from_poly(C, c1_limbs)
         pk0_pre = modular.mod_add(
-            modular.mod_mul(s_evals, c1_evals, C['q'], C['qinv_f']),
+            modular.mod_mul(s_evals, c1_evals, C['q'], C['qinv_f'],
+                            self.wide),
             self._small_to_evals(C, c0), C['q'])
         pk0_limbs = self._reduce_signed(C, self._to_poly(C, pk0_pre))
         pk1_limbs = self._reduce_signed(C, lb.neg(c1_limbs))
@@ -636,7 +735,7 @@ class DeviceContext:
                 shifted.append(lb.shift_left(s_limbs[i], self.digit_bits * j))
         s_shift = jnp.stack(shifted)
         b_ev = modular.mod_mul(self._from_poly(C, A_limbs), dst_t_evals[None],
-                               C['q'], C['qinv_f'])
+                               C['q'], C['qinv_f'], self.wide)
         b_limbs = self._to_poly(C, b_ev)
         b_limbs = lb.add(lb.add(b_limbs, lb.from_small_signed(e, self.n)),
                          s_shift)
@@ -652,7 +751,7 @@ class DeviceContext:
     def square_evals_op(self):
         return self._wrap(
             lambda C, evals: modular.mod_mul(evals, evals, C['q'],
-                                             C['qinv_f']))
+                                             C['qinv_f'], self.wide))
 
     # ------------------------------------------------------- batched pipelines
     def _mul_relin(self, C, a_parts, b_parts, matrix_evals):

@@ -171,6 +171,28 @@ def find_element_of_order(q: int, e: int) -> int:
     raise ValueError(f"no order-{e} element found mod {q}")
 
 
+def multiplicative_order(g: int, m: int) -> int:
+    """Order of g in (Z/mZ)* (g coprime to m): smallest divisor e of
+    phi(m) with g^e = 1, found by peeling prime factors off phi(m)."""
+    if math.gcd(g, m) != 1:
+        raise ValueError(f"{g} is not a unit mod {m}")
+    e = euler_phi(m)
+    for f in factorize(e):
+        while e % f == 0 and pow(g, e // f, m) == 1:
+            e //= f
+    return e
+
+
+def is_cyclic_group(m: int) -> bool:
+    """True iff (Z/mZ)* is cyclic: m in {1, 2, 4, p^k, 2*p^k}, p odd."""
+    if m <= 4:
+        return True
+    if m % 4 == 0:
+        return False
+    odd = m if m % 2 else m // 2
+    return len(factorize(odd)) == 1
+
+
 def find_group_generator(m: int) -> int:
     """Smallest generator of (Z/mZ)*, when cyclic (m = 1,2,4,p^k,2p^k).
 

@@ -411,7 +411,8 @@ def plaintext_rotate(ctx: FheContext, a, k: int) -> np.ndarray:
     over all totalSlots.  With extension-field slots the decoded slot
     values are [S, d] coefficient vectors; they move wholesale (the
     reference decodes/reorders/re-embeds the remainder polynomials the
-    same way)."""
+    same way).  With multiple g-orbit slot cycles (power-of-two m) each
+    cycle rolls independently (context.rotate_slots)."""
     slots = ctx.decode_slots(a)
-    rotated = np.roll(slots, -k, axis=0)
+    rotated = ctx.rotate_slots(slots, k)
     return ctx.embed_in_slots(rotated, only_usable=False)

@@ -35,22 +35,40 @@ import os as _os
 USE_MXU_PARTIALS = _os.environ.get("FHE_SI_TPU_MXU_CRT", "0") == "1"
 
 
-def limbs_to_residues(poly, chunk_tbl, wrap, q, qinv_f):
+def limbs_to_residues(poly, chunk_tbl, wrap, q, qinv_f, wide: bool = False):
     """[..., phim, n] limbs -> [..., L, phim] residues.
 
     chunk_tbl: int32 [>=4n, L] with tbl[c, l] = 2^(4c) mod q_l (a wider
                table is sliced to the input width)
     wrap:      int32 [L, 1]   2^(16n) mod q_l for THIS n (sign correction)
-    Partial sums stay int32-exact: 15 * 2^20 * 4n < 2^31 for n <= 34.
+
+    narrow: one chunk dot; partial sums stay int32-exact:
+    15 * 2^20 * 4n < 2^31 for n <= 34.
+
+    wide (q < 2^23): the table entries split at 12 bits into two planes
+    (done here at trace time — the splits constant-fold against the
+    table parameter), two dots (lo <= 15 * 2^12 * 4n, hi <= 15 * 2^11
+    * 4n — int32-exact for n <= 2^13), then a 2-hop Barrett-Horner
+    rejoins them: (r << 6) + lo - sign*wrap < 2^29 + 2^24 + 2^23.
     """
     n = poly.shape[-1]
-    assert 15 * (1 << 20) * 4 * n < (1 << 31), "limb width too large for one pass"
     assert chunk_tbl.shape[0] >= 4 * n, "chunk table narrower than input"
     chunks = jnp.stack([(poly >> (CHUNK * i)) & CMASK for i in range(4)], axis=-1)
     chunks = chunks.reshape(*poly.shape[:-1], 4 * n)
+    sign = lb.is_negative(poly)[..., None, :]  # [..., 1, phim]
+    if wide:
+        assert 15 * (1 << 12) * 4 * n < (1 << 31), "limb width too large"
+        tbl = chunk_tbl[:4 * n]
+        raw_lo = jnp.einsum('...xc,cl->...lx', chunks, tbl & 4095,
+                            preferred_element_type=jnp.int32)
+        raw_hi = jnp.einsum('...xc,cl->...lx', chunks, tbl >> 12,
+                            preferred_element_type=jnp.int32)
+        r = barrett(raw_hi, q, qinv_f)
+        r = barrett(r << 6, q, qinv_f)
+        return barrett((r << 6) + raw_lo - sign * wrap, q, qinv_f)
+    assert 15 * (1 << 20) * 4 * n < (1 << 31), "limb width too large for one pass"
     raw = jnp.einsum('...xc,cl->...lx', chunks, chunk_tbl[:4 * n],
                      preferred_element_type=jnp.int32)
-    sign = lb.is_negative(poly)[..., None, :]  # [..., 1, phim]
     raw = raw - sign * wrap
     return barrett(raw, q, qinv_f)
 
@@ -69,7 +87,8 @@ def limbs_to_mod_small(poly, p_chunk_tbl, p_wrap, p, pinv_f):
     return barrett(raw, p, pinv_f)
 
 
-def crt_partials(res, t, q, qinv_f, prescaled: bool = False):
+def crt_partials(res, t, q, qinv_f, prescaled: bool = False,
+                 wide: bool = False):
     """Per-prime-local half of the single-pass CRT reconstruction.
 
     prescaled=True: the caller's iNTT table already carried the binv
@@ -103,9 +122,10 @@ def crt_partials(res, t, q, qinv_f, prescaled: bool = False):
     if prescaled:
         c = res  # acc/sig terms on the redundant row are zeroed by B/Bmodr
     else:
-        c = mod_mul(res, t['binv'][:, None], q, qinv_f)  # 0 on redundant row
+        c = mod_mul(res, t['binv'][:, None], q, qinv_f, wide)  # 0 on redundant
 
-    # limb accumulation  S = sum_l c_l * B_l   (10-bit digit split)
+    # limb accumulation  S = sum_l c_l * B_l   (10-bit digit split;
+    # wide lane: ch < 2^13 keeps p1 = ch * Bh < 2^29, still int32-exact)
     cl = (c & 1023)[..., None]
     ch = (c >> 10)[..., None]
     p0 = cl * t['B'][:, None, :]                 # < 2^26
@@ -116,8 +136,8 @@ def crt_partials(res, t, q, qinv_f, prescaled: bool = False):
                                                         axis=-3)
     acc = acc + jnp.pad(hi[..., :-1], [(0, 0)] * (hi.ndim - 1) + [(1, 0)])
 
-    term = mod_mul(c, t['Bmodr'][:, None], mr, mrinv)
-    sig_raw = jnp.sum(term, axis=-2)             # < Lrows * 2^20 < 2^26
+    term = mod_mul(c, t['Bmodr'][:, None], mr, mrinv, wide)
+    sig_raw = jnp.sum(term, axis=-2)             # < Lrows * 2^23 < 2^29
     er = jnp.sum(t['er_mask'][:, None] * res, axis=-2)
     return acc, sig_raw, er
 
@@ -190,7 +210,7 @@ def crt_partials_mxu(res, t, q, qinv_f):
     return acc, sig_raw, er
 
 
-def crt_finish(acc, sig_raw, er, t, n_limbs: int):
+def crt_finish(acc, sig_raw, er, t, n_limbs: int, wide: bool = False):
     """Replicated tail of the single-pass CRT reconstruction: compute the
     exact wrap count w = ((S mod m_r) - E_r) * P^{-1} mod m_r (exact since
     0 <= w <= L < m_r), subtract w*P in the limb domain, normalize."""
@@ -198,7 +218,7 @@ def crt_finish(acc, sig_raw, er, t, n_limbs: int):
     mrinv = t['mrinv_f']
     sig = barrett(sig_raw, mr, mrinv)
     diff = mod_sub(sig, er, mr)
-    w = mod_mul(diff, t['Pinv_r'], mr, mrinv)
+    w = mod_mul(diff, t['Pinv_r'], mr, mrinv, wide)
 
     wl = (w & 1023)[..., None]
     wh = (w >> 10)[..., None]
@@ -212,7 +232,7 @@ def crt_finish(acc, sig_raw, er, t, n_limbs: int):
 
 
 def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int | None = None,
-                           prescaled: bool = False):
+                           prescaled: bool = False, wide: bool = False):
     """Single-pass CRT reconstruction via the redundant modulus
     (context.fast_crt_tables): no serial Garner scan — O(L) parallel
     work plus one small exact correction.  Returns the centered signed
@@ -222,18 +242,22 @@ def residues_to_limbs_fast(res, t, q, qinv_f, n_limbs: int | None = None,
     Prescaled inputs take the MXU digit-matmul accumulation
     (crt_partials_mxu) when the tables carry digit planes; the paths
     are bit-identical (tests/test_ops.py::test_crt_partials_mxu_parity).
+    The MXU variant rides the narrow 3x7-bit digit split, so wide-lane
+    contexts always use the elementwise path.
 
     res: [..., L, phim] with the LAST row tracking E mod m_r.
     """
-    if prescaled and 'B_chunks' in t and USE_MXU_PARTIALS:
+    if prescaled and 'B_chunks' in t and USE_MXU_PARTIALS and not wide:
         acc, sig_raw, er = crt_partials_mxu(res, t, q, qinv_f)
     else:
-        acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled)
+        acc, sig_raw, er = crt_partials(res, t, q, qinv_f, prescaled, wide)
     return crt_finish(acc, sig_raw, er, t,
-                      n_limbs if n_limbs is not None else t['B'].shape[-1])
+                      n_limbs if n_limbs is not None else t['B'].shape[-1],
+                      wide)
 
 
-def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int):
+def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int,
+                      wide: bool = False):
     """[..., L, phim] residues -> [..., phim, n] limbs of the centered
     representative in (-P/2, P/2).
 
@@ -260,7 +284,7 @@ def residues_to_limbs(res, tables, q, qinv_f, n_limbs: int):
             qir = qinv_f[j + 1:]
             diff = mod_sub(rest, a_j[..., None, :] % qr, qr)
             t = t.at[..., j + 1:, :].set(
-                mod_mul(diff, invq[j, j + 1:, None], qr, qir))
+                mod_mul(diff, invq[j, j + 1:, None], qr, qir, wide))
     D = jnp.stack(digits, axis=-2)  # [..., L, phim]
 
     # lexicographic compare against floor(P/2) digits, most significant last

@@ -238,8 +238,10 @@ def byte_decomp(a, log_q: int, digit_bits: int, ndigits: int, q_limbs):
     then digit j = bits [digit_bits*j, digit_bits*(j+1)).
 
     Returns int32 [..., ndigits] with limbs axis consumed (per-coefficient
-    digit values < 2^digit_bits <= 2^24).
+    digit values < 2^digit_bits <= 2^24).  digit_bits > 24 (decompSize
+    >= 4) overflows an int32 digit value — use byte_decomp_planes.
     """
+    assert digit_bits <= 24, "digit radix above 2^24: use byte_decomp_planes"
     pos = reduce_mod_q(a, log_q, True, q_limbs)
     n = pos.shape[-1]
     zero = jnp.zeros_like(pos[..., 0])
@@ -260,3 +262,36 @@ def byte_decomp(a, log_q: int, digit_bits: int, ndigits: int, q_limbs):
             idx += 1
         digits.append(v & ((1 << digit_bits) - 1))
     return jnp.stack(digits, axis=-1)
+
+
+def byte_decomp_planes(a, log_q: int, digit_bits: int, ndigits: int, q_limbs):
+    """ByteDecomp for digit radixes past int32 lanes (decompSize >= 4,
+    reference FHEContext.h:91-99 accepts any decompSize): each radix-
+    2^digit_bits digit is carried as ceil(digit_bits/16) little-endian
+    16-bit planes.  digit j plane t = bits [digit_bits*j + 16*t, ...+16)
+    of the positive representative — the same bit slicing as
+    byte_decomp, regrouped.
+
+    Returns int32 [..., ndigits, nplanes], every plane in [0, 2^16).
+    """
+    nplanes = (digit_bits + LIMB_BITS - 1) // LIMB_BITS
+    pos = reduce_mod_q(a, log_q, True, q_limbs)
+    n = pos.shape[-1]
+    zero = jnp.zeros_like(pos[..., 0])
+
+    def limb(k):
+        return pos[..., k] if k < n else zero
+
+    digits = []
+    for j in range(ndigits):
+        planes = []
+        for t in range(nplanes):
+            lo_bit = digit_bits * j + LIMB_BITS * t
+            width = min(LIMB_BITS, digit_bits - LIMB_BITS * t)
+            k0, off = divmod(lo_bit, LIMB_BITS)
+            v = limb(k0) >> off
+            if off:
+                v = v | (limb(k0 + 1) << (LIMB_BITS - off))
+            planes.append(v & ((1 << width) - 1))
+        digits.append(jnp.stack(planes, axis=-1))
+    return jnp.stack(digits, axis=-2)

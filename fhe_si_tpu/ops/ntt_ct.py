@@ -70,9 +70,10 @@ class CtNttTables:
       chirp_inv : int32 [L, N]       w^(-c) * N^(-1)  (1/N folded here)
     """
 
-    def __init__(self, m: int, primes, roots):
+    def __init__(self, m: int, primes, roots, wide: bool = False):
         assert m & (m - 1) == 0 and m >= 8, "CtNttTables: m must be 2^k >= 8"
         self.m = m
+        self.wide = wide
         self.N = N = m // 2
         self.N1, self.N2 = N1, N2 = _split(N)
         primes = np.asarray(primes, dtype=np.int64)
@@ -120,10 +121,10 @@ class CtNttTables:
 
         self.q = jnp.asarray(primes[:, None], jnp.int32)
         self.qinv_f = jnp.asarray((1.0 / primes[:, None]).astype(np.float32))
-        self.t1_chunks = jnp.asarray(ntt.chunk_matrix(T1))
-        self.t2_chunks = jnp.asarray(ntt.chunk_matrix(T2))
-        self.t1i_chunks = jnp.asarray(ntt.chunk_matrix(T1i))
-        self.t2i_chunks = jnp.asarray(ntt.chunk_matrix(T2i))
+        self.t1_chunks = jnp.asarray(ntt.chunk_matrix(T1, wide))
+        self.t2_chunks = jnp.asarray(ntt.chunk_matrix(T2, wide))
+        self.t1i_chunks = jnp.asarray(ntt.chunk_matrix(T1i, wide))
+        self.t2i_chunks = jnp.asarray(ntt.chunk_matrix(T2i, wide))
         # twiddles arranged [N1, L, N2] so they broadcast against the
         # [..., N1, L, N2] intermediate without transposes
         self.tw = jnp.asarray(np.moveaxis(tw, 0, 1).astype(np.int32))
@@ -156,32 +157,43 @@ def _shape_join(y, N1, N2):
     return z.reshape(*lead, L, N1 * N2)
 
 
+def _is_wide(T: dict) -> bool:
+    """Lane of a packed table (static): wide tables carry 9 digit planes."""
+    return T['t1'].shape[0] == ntt.N_PLANES_W
+
+
 def ct_fwd(T: dict, x, N1: int, N2: int):
     """Evaluations at primitive m-th roots in zms (ascending-odd) order:
     identical semantics and values to the dense ntt_fwd.  x: int32
     [..., L, N] residues in [0, q)."""
-    y = mod_mul(x, T['chirp'], T['q'], T['qinv_f'])
+    w = _is_wide(T)
+    y = mod_mul(x, T['chirp'], T['q'], T['qinv_f'], w)
     y = _shape_split(y, N1, N2)                      # [.., c1, L, c2]
     y = ntt.modmatmul(T['t2'], y, T['q'], T['qinv_f'])   # DFT over c2 -> j2
-    y = mod_mul(y, T['tw'], T['q'], T['qinv_f'])
+    y = mod_mul(y, T['tw'], T['q'], T['qinv_f'], w)
     y = jnp.swapaxes(y, -1, -3)                      # [.., j2, L, c1]
     y = ntt.modmatmul(T['t1'], y, T['q'], T['qinv_f'])   # DFT over c1 -> j1
     y = jnp.swapaxes(y, -1, -3)                      # [.., j1, L, j2]
     return _shape_join(y, N1, N2)
 
 
-def ct_inv(T: dict, evals, N1: int, N2: int):
-    """Inverse of ct_fwd (coefficients of the unique degree<N poly)."""
+def ct_inv(T: dict, evals, N1: int, N2: int, chirp_key: str = 'chirp_inv'):
+    """Inverse of ct_fwd (coefficients of the unique degree<N poly).
+
+    chirp_key='chirp_inv_crt' selects the inverse chirp with the CRT
+    premultiplier binv folded in (device.DeviceContext ct_with_crt) —
+    the CT analog of the dense path's prescaled 'inv_chunks_crt'."""
+    w = _is_wide(T)
     *lead, L, N = evals.shape
     y = evals.reshape(*lead, L, N1, N2)              # j = j2 + N2*j1
     y = jnp.moveaxis(y, -2, -3)                      # [.., j1, L, j2]
     y = jnp.swapaxes(y, -1, -3)                      # [.., j2, L, j1]
     y = ntt.modmatmul(T['t1i'], y, T['q'], T['qinv_f'])  # inv DFT over j1
     y = jnp.swapaxes(y, -1, -3)                      # [.., c1, L, j2]
-    y = mod_mul(y, T['twi'], T['q'], T['qinv_f'])
+    y = mod_mul(y, T['twi'], T['q'], T['qinv_f'], w)
     y = ntt.modmatmul(T['t2i'], y, T['q'], T['qinv_f'])  # inv DFT over j2
     y = _shape_split_inv(y, N1, N2)
-    return mod_mul(y, T['chirp_inv'], T['q'], T['qinv_f'])
+    return mod_mul(y, T[chirp_key], T['q'], T['qinv_f'], w)
 
 
 def _shape_split_inv(y, N1, N2):

@@ -80,6 +80,11 @@ class ShardedPipelines:
                 f"num_primes={dev.L} does not shard over {limb}="
                 f"{mesh.shape[limb]}; build the context with "
                 f"num_primes_multiple={mesh.shape[limb]}")
+        if dev.use_ct:
+            raise NotImplementedError(
+                "ShardedPipelines shards the dense-table family; "
+                "power-of-two-m contexts shard their CT-NTT stages over "
+                "'coeff' (ct_coeff_sharded_ntt)")
         self.dev = dev
         self.mesh = mesh
         self.dp = dp
@@ -93,15 +98,17 @@ class ShardedPipelines:
         tail.  Both partials variants are exact for the FULL chain
         contraction, so the psum of shard-local partials cannot
         overflow; the path choice follows crt.USE_MXU_PARTIALS."""
+        wide = self.dev.wide
         res = ntt.modmatmul(Cl['inv_chunks_crt'], evals, Cl['q'], Cl['qinv_f'])
-        if crt.USE_MXU_PARTIALS:
+        if crt.USE_MXU_PARTIALS and not wide:
             acc, sig, er = crt.crt_partials_mxu(res, Cl['fast_crt'], Cl['q'],
                                                 Cl['qinv_f'])
         else:
             acc, sig, er = crt.crt_partials(res, Cl['fast_crt'], Cl['q'],
-                                            Cl['qinv_f'], prescaled=True)
+                                            Cl['qinv_f'], prescaled=True,
+                                            wide=wide)
         acc, sig, er = jax.lax.psum((acc, sig, er), self.limb)
-        return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n)
+        return crt.crt_finish(acc, sig, er, Cl['fast_crt'], self.dev.n, wide)
 
     def _from_poly(self, Cl, poly_limbs):
         """Limb polys at ANY trace-time width -> local residue rows.
@@ -123,19 +130,22 @@ class ShardedPipelines:
             i = jax.lax.axis_index(self.limb)
             wrap = jax.lax.dynamic_slice_in_dim(full, i * rows, rows, axis=0)
         res = crt.limbs_to_residues(poly_limbs, Cl['chunk_tbl'],
-                                    wrap, Cl['q'], Cl['qinv_f'])
+                                    wrap, Cl['q'], Cl['qinv_f'],
+                                    self.dev.wide)
         return ntt.modmatmul(Cl['fwd_chunks'], res, Cl['q'], Cl['qinv_f'])
 
     def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
         dev = self.dev
+        wide = dev.wide
         a_ev = modular.mod_mul(self._from_poly(Cl, a_parts), Cl['p_mod_q'],
-                               Cl['q'], Cl['qinv_f'])
+                               Cl['q'], Cl['qinv_f'], wide)
         b_ev = self._from_poly(Cl, b_parts)
         na, nb = a_ev.shape[0], b_ev.shape[0]
         tprod = [None] * (na + nb - 1)
         for i in range(na):
             for j in range(nb):
-                pr = modular.mod_mul(a_ev[i], b_ev[j], Cl['q'], Cl['qinv_f'])
+                pr = modular.mod_mul(a_ev[i], b_ev[j], Cl['q'], Cl['qinv_f'],
+                                     wide)
                 k = i + j
                 tprod[k] = pr if tprod[k] is None else modular.mod_add(
                     tprod[k], pr, Cl['q'])
@@ -158,7 +168,7 @@ class ShardedPipelines:
         d_ev = ntt.modmatmul(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
 
         acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
-                              axis=1)
+                              axis=1, wide=wide)
         out = self._to_poly_psum(Cl, acc)
         return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'],
                                out_width=dev.n_ct)
@@ -232,6 +242,11 @@ class CoeffShardedPipelines:
             raise ValueError(
                 f"phim={dev.phim} does not shard over {coeff}="
                 f"{mesh.shape[coeff]}")
+        if dev.use_ct:
+            raise NotImplementedError(
+                "CoeffShardedPipelines shards the dense DFT matmuls; "
+                "power-of-two-m contexts shard their CT stages with "
+                "ct_coeff_sharded_ntt")
         self.dev = dev
         self.mesh = mesh
         self.dp = dp if dp in mesh.shape else None
@@ -267,33 +282,37 @@ class CoeffShardedPipelines:
 
     def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
         dev = self.dev
+        wide = dev.wide
         fc = Cl['fast_crt']
 
         def from_poly(parts):       # [k, phim_loc, n_ct] -> [k, L, phim_loc]
             res = crt.limbs_to_residues(parts, Cl['chunk_tbl'],
-                                        Cl['wrap_ct'], Cl['q'], Cl['qinv_f'])
+                                        Cl['wrap_ct'], Cl['q'], Cl['qinv_f'],
+                                        wide)
             return self._ntt_coeff(Cl['fwd_chunks'], res, Cl['q'],
                                    Cl['qinv_f'])
 
         def to_poly(evals):         # [k, L, phim_loc] -> [k, phim_loc, n]
             res = self._ntt_coeff(Cl['inv_chunks_crt'], evals, Cl['q'],
                                   Cl['qinv_f'])
-            if crt.USE_MXU_PARTIALS:
+            if crt.USE_MXU_PARTIALS and not wide:
                 acc, sig, er = crt.crt_partials_mxu(res, fc, Cl['q'],
                                                     Cl['qinv_f'])
             else:
                 acc, sig, er = crt.crt_partials(res, fc, Cl['q'],
-                                                Cl['qinv_f'], prescaled=True)
-            return crt.crt_finish(acc, sig, er, fc, dev.n)
+                                                Cl['qinv_f'], prescaled=True,
+                                                wide=wide)
+            return crt.crt_finish(acc, sig, er, fc, dev.n, wide)
 
         a_ev = modular.mod_mul(from_poly(a_parts), Cl['p_mod_q'],
-                               Cl['q'], Cl['qinv_f'])
+                               Cl['q'], Cl['qinv_f'], wide)
         b_ev = from_poly(b_parts)
         na, nb = a_ev.shape[0], b_ev.shape[0]
         tprod = [None] * (na + nb - 1)
         for i in range(na):
             for j in range(nb):
-                pr = modular.mod_mul(a_ev[i], b_ev[j], Cl['q'], Cl['qinv_f'])
+                pr = modular.mod_mul(a_ev[i], b_ev[j], Cl['q'], Cl['qinv_f'],
+                                     wide)
                 k = i + j
                 tprod[k] = pr if tprod[k] is None else modular.mod_add(
                     tprod[k], pr, Cl['q'])
@@ -314,7 +333,7 @@ class CoeffShardedPipelines:
         d_ev = self._ntt_coeff(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
 
         acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
-                              axis=1)
+                              axis=1, wide=wide)
         out = to_poly(acc)
         return lb.reduce_mod_q(out, dev.log_q, False, Cl['q_limbs'],
                                out_width=dev.n_ct)

@@ -84,6 +84,22 @@ def test_rejects_bad_params():
     with pytest.raises(ValueError):
         FheContext(m=22, log_q=20, p=2 ** 24 + 43, generator=7)  # q <= 2p
     with pytest.raises(ValueError):
-        FheContext(m=36, log_q=80, p=37, generator=5)  # (Z/36)* not cyclic
+        # (Z/22)* IS cyclic, so a non-generating g must still be rejected
+        FheContext(m=22, log_q=80, p=23, generator=3)  # ord_22(3) = 5
     with pytest.raises(ValueError):
-        FheContext(m=22, log_q=80, p=23, generator=7, decomp_size=4)
+        FheContext(m=22, log_q=80, p=23, generator=7, decomp_size=9)
+
+
+def test_noncyclic_group_slot_cycles():
+    """(Z/36)* is NOT cyclic (Z/2 x Z/6): slots split into g-orbit cycles
+    with automorph-by-g a per-cycle shift (the regime every power-of-two
+    m lives in; the reference has no single-g answer here either)."""
+    ctx = FheContext(m=36, log_q=80, p=37, generator=5)  # ord_36(5) = 6
+    assert ctx.total_slots == 12 and ctx.slot_cycles == 2
+    assert ctx.usable_slots == 4                         # 2^floor(log2(6))
+    vals = np.arange(1, 13, dtype=np.int64)
+    poly = ctx.embed_in_slots(vals, only_usable=False)
+    assert np.array_equal(ctx.decode_slots(poly), vals % 37)
+    rot = ctx.rotate_slots(vals, 1)
+    assert np.array_equal(rot[:6], np.roll(vals[:6], -1))
+    assert np.array_equal(rot[6:], np.roll(vals[6:], -1))
