@@ -2,12 +2,19 @@
 (logQ=80, p=23, g=7 — README:45-48), tensor-mul + full relinearization.
 
 Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": "mults/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "mults/s", "vs_baseline": N,
+   "big": N, "ct4096": N, "ntt_v3": N, "scaledown_v3_ms": N}
+
+value/vs_baseline follow the driver contract; the secondary keys pin the
+numbers that matter for round-over-round comparison: the regression-scale
+dense config (big: p=4007 phim=2002 L=21 logQ=170), the Cooley-Tukey
+power-of-two config (ct4096: m=2^13 phim=4096 logQ=80), and the pinned
+NTT/ScaleDown probes.  `--ct8k` additionally times the wide-lane
+m=2^14/logQ=170 config (stderr only).
 
 vs_baseline divides by the measured single-threaded CPU rate of the
 pure-Python oracle (hostmath/oracle.py), which faithfully implements the
 reference algorithms; NTL is not installed in this image (BASELINE.md).
-Secondary metrics (NTT throughput, mod-switch latency) go to stderr.
 
 Timing methodology (hard-won, see tools/profile_*.py): on the axon
 runtime block_until_ready is NOT a reliable execution fence, identical-
@@ -181,8 +188,7 @@ def bench_oracle(iters=5):
 
 
 def bench_big(p=4007, log_q=170, batch=64, steps=16):
-    """Regression-scale config (phim=2002): reported to stderr only —
-    compile cost makes it too slow for the default driver run."""
+    """Regression-scale config (phim=2002, dense transform family)."""
     import jax.numpy as jnp
     from fhe_si_tpu import sampling, scheme
     from fhe_si_tpu.context import FheContext
@@ -204,17 +210,64 @@ def bench_big(p=4007, log_q=170, batch=64, steps=16):
     return rate
 
 
+def bench_ct(m=8192, p=40961, log_q=80, batch=64, steps=16):
+    """Power-of-two-m config riding the Cooley-Tukey transform family —
+    phim=4096 by default, the first scheme-level shape past the dense
+    family's ~2 GB table wall.  Derives the int8-op count per mult from
+    the static transform structure and reports sustained Tops/s + MFU."""
+    import jax.numpy as jnp
+    from fhe_si_tpu import sampling, scheme
+    from fhe_si_tpu.context import FheContext
+    from fhe_si_tpu.device import device_context
+
+    ctx = FheContext(m=m, log_q=log_q, p=p, generator=3)
+    dev = device_context(ctx)
+    assert dev.use_ct
+    src = sampling.RandomSource(1)
+    sk, pk = scheme.keygen(ctx, src)
+    ksw = scheme.KeySwitch.for_relinearization(sk, src)
+    c1 = pk.encrypt(scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, ctx.p)), src)
+    a = jnp.broadcast_to(c1.parts[None], (batch,) + tuple(c1.parts.shape))
+    rate, step_s = _chain_rate(dev, ksw.matrix_evals, a, steps)
+
+    # int8 MACs per prime-transform: n_dots * N * (N1 + N2) (two matmul
+    # stages of the two-level factorization, ops/ntt_ct.py)
+    N1, N2 = dev.ct_split
+    n_dots = 9 if ctx.wide else 6
+    macs_pt = n_dots * (ctx.phim * (N1 + N2))
+    L, Lk = ctx.num_primes, len(ctx.ksw_rows)
+    # transforms per mul+relin: 4 lifts (full chain) + 3 ScaleDown iNTTs
+    # + 2*ndigits digit NTTs + 2 keyswitch iNTTs (subset basis)
+    n_tf = 4 * L + 3 * L + (2 * ctx.ndigits + 2) * Lk
+    tops = rate * n_tf * macs_pt * 2 / 1e12   # MAC = 2 ops
+    print(f"[bench] CT config m={m} phim={ctx.phim} L={L} logQ={log_q} "
+          f"lane={ctx.prime_bits}b N1xN2={N1}x{N2}: {rate:.1f} mults/s "
+          f"(batch={batch}, {steps} steps, {step_s*1e3:.1f} ms/step); "
+          f"{n_tf} prime-transforms/mult x {macs_pt/1e6:.1f} MMACs = "
+          f"{tops:.1f} Tops/s sustained = {100*tops/394:.1f}% of v5e int8 peak",
+          file=sys.stderr)
+    return rate
+
+
 def main():
     _setup_cache()
     dev_rate, ntt_rate, scale_ms = bench_device()
     cpu_rate = bench_oracle()
-    if "--big" in sys.argv:
-        bench_big()
+    big_rate = bench_big()
+    ct_rate = bench_ct()
+    if "--ct8k" in sys.argv:
+        bench_ct(m=16384, p=65537, log_q=170, batch=16, steps=8)
+    # one driver-parsed line; secondary keys make rounds machine-comparable
+    # (round-3 verdict: the meaningful numbers lived only in stderr prose)
     print(json.dumps({
         "metric": "homomorphic mults/s per chip (logQ=80, mul+relin)",
         "value": round(dev_rate, 1),
         "unit": "mults/s",
         "vs_baseline": round(dev_rate / cpu_rate, 2),
+        "big": round(big_rate, 1),
+        "ct4096": round(ct_rate, 1),
+        "ntt_v3": round(ntt_rate),
+        "scaledown_v3_ms": round(scale_ms, 3),
     }))
 
 

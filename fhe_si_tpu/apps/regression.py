@@ -75,6 +75,52 @@ class Regression:
         self.data = Matrix()
         self.labels: list[scheme.Ciphertext] = []
 
+    def prewarm_async(self, dim: int, n_blocks: int) -> list:
+        """Background compiles of this run's dominant pipeline shapes
+        (scheme.prewarm_async; see Statistics.prewarm_async).  Covers the
+        X^T y / X^T X product sweep, the keyswitch + rotate-reduce over
+        d + d^2 entries, theta assembly, and the d+1 decryption batch;
+        the inner cofactor levels of invert_batched have d-dependent
+        batch sizes and stay on-demand."""
+        import jax.numpy as jnp
+        from ..device import device_context
+        ctx, dev = self.ctx, device_context(self.ctx)
+        d, nb = dim, n_blocks
+        tri = d * (d + 1) // 2
+        Pr = (d + tri) * nb
+        phim, n_ct, L = ctx.phim, ctx.n_limbs_ct, ctx.num_primes
+
+        def zp(B, k=2):
+            return jnp.zeros((B, k, phim, n_ct), jnp.int32)
+
+        def zt(B, k=3):
+            return jnp.zeros((B, k, L, phim), jnp.int32)
+
+        ksw_m = self.key_switch.matrix_evals
+        pk, sk = self.public_key, self.secret_key
+        zmsg = jnp.zeros((d + 1, phim), jnp.int32)
+        zerr = jnp.zeros((d + 1, 2, phim), jnp.int32)
+        thunks = [
+            lambda: dev.batched_encrypt_op(pk.pk_evals, zmsg, zmsg, zerr),
+            lambda: dev.batched_tensor_mul_op(zp(Pr), zp(Pr)),
+            lambda: dev.signed_group_sum_tensored_op(
+                zt(Pr).reshape(d + tri, nb, 3, L, phim),
+                jnp.ones((d + tri, nb, 1, L, 1), jnp.int32)),
+            lambda: dev.batched_keyswitch_tensored_op(zt(d + d * d), ksw_m),
+            lambda: dev.batched_tensor_mul_op(zp(d * d), zp(d * d)),
+            lambda: dev.batched_keyswitch_tensored_op(zt(d), ksw_m),
+            lambda: dev.encrypt_op(pk.pk_evals, zmsg[0], zmsg[0], zerr[0]),
+            lambda: dev.add_op(zp(1)[0], zp(1)[0]),
+            lambda: dev.batched_decrypt_op(zp(d + 1), sk.sk_evals[:2]),
+        ]
+        if self.auto_key_switch:
+            perm = jnp.asarray(ctx.automorph_perm(self.auto_ks[0]),
+                               dtype=jnp.int32)
+            aksw = self.auto_key_switch[0]
+            thunks.append(lambda: dev.batched_rotate_reduce_stage_op(
+                zp(d + d * d), perm, aksw.matrix_evals))
+        return scheme.prewarm_async(thunks)
+
     def add_data(self, ptxt_data, ptxt_labels):
         """Encrypt every batched cell + labels (Regression.h:83-95), fused
         into one batched device dispatch per block row."""

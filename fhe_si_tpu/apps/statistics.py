@@ -65,6 +65,69 @@ class Statistics:
         self.data = Matrix()
         self.n_elems: list[scheme.Ciphertext] = []
 
+    def prewarm_async(self, dim: int, n_blocks: int) -> list:
+        """Launch background compiles of every batched pipeline shape this
+        run will hit (scheme.prewarm_async): the compiles overlap the
+        host-bound batch/encrypt phases instead of serializing into the
+        computation/decryption phases.  Shapes follow compute_covariance
+        exactly: P = d(d+1)/2 pair products, nb-block group sums, the
+        rotate-reduce stages at batches P and d, and the d+d^2+2
+        decryption batch (width-canonical after decrypt_batch)."""
+        import jax.numpy as jnp
+        from ..device import device_context
+        ctx, dev = self.ctx, device_context(self.ctx)
+        d, nb = dim, n_blocks
+        P = d * (d + 1) // 2
+        phim, n_ct, L = ctx.phim, ctx.n_limbs_ct, ctx.num_primes
+
+        def zp(B, k=2):
+            return jnp.zeros((B, k, phim, n_ct), jnp.int32)
+
+        def zt(B, k=3):
+            return jnp.zeros((B, k, L, phim), jnp.int32)
+
+        ksw_m = self.key_switch.matrix_evals
+        aksw = self.auto_key_switch[0] if self.auto_key_switch else None
+        pk = self.public_key
+        sk = self.secret_key
+        zmsg = jnp.zeros((d + 1, phim), jnp.int32)
+        zerr = jnp.zeros((d + 1, 2, phim), jnp.int32)
+        thunks = [
+            # encryption phase: one batch of d+1 per block
+            lambda: dev.batched_encrypt_op(pk.pk_evals, zmsg, zmsg, zerr),
+            # covariance pair products + block sums
+            lambda: dev.batched_tensor_mul_op(zp(P * nb), zp(P * nb)),
+            lambda: dev.signed_group_sum_tensored_op(
+                zt(P * nb).reshape(P, nb, 3, L, phim),
+                jnp.ones((P, nb, 1, L, 1), jnp.int32)),
+            lambda: dev.batched_tensor_mul_op(zp(P), zp(P)),
+            # keyswitch + rotate-reduce stages (batches P and d)
+            lambda: dev.batched_keyswitch_tensored_op(zt(P), ksw_m),
+            # *n fused mul+relin, mu scalar negate
+            lambda: dev.batched_mul_relin_op(zp(P), zp(P), ksw_m),
+            lambda: dev.batched_mul_scalar_op(
+                zp(P), jnp.ones(P, jnp.int32), jnp.zeros(P, jnp.bool_)),
+            # n^2 single keyswitch chain + noise encrypt + adds
+            lambda: scheme.KeySwitch(ctx, ksw_m).apply(
+                scheme.Ciphertext(ctx, tprod=jnp.zeros((3, L, phim),
+                                                       jnp.int32))),
+            lambda: dev.encrypt_op(pk.pk_evals, zmsg[0], zmsg[0], zerr[0]),
+            lambda: dev.add_op(zp(1)[0], zp(1)[0]),
+            # final fused decryption batch
+            lambda: dev.batched_decrypt_op(zp(d + d * d + 2),
+                                           sk.sk_evals[:2]),
+        ]
+        if aksw is not None:
+            perm = jnp.asarray(ctx.automorph_perm(self.auto_ks[0]),
+                               dtype=jnp.int32)
+            thunks += [
+                lambda: dev.batched_rotate_reduce_stage_op(
+                    zp(P), perm, aksw.matrix_evals),
+                lambda: dev.batched_rotate_reduce_stage_op(
+                    zp(d), perm, aksw.matrix_evals),
+            ]
+        return scheme.prewarm_async(thunks)
+
     def add_data(self, blocks, block_sizes):
         """Statistics.h:29-41, fused into one batched dispatch per block."""
         for row, bs in zip(blocks, block_sizes):

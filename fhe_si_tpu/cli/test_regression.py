@@ -50,6 +50,9 @@ def main(argv):
         ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
         source = sampling.RandomSource(seed)
         model = reg.Regression(ctx, source)
+        # overlap pipeline compiles with the host-bound batch/embed work
+        n_blocks = (raw.num_rows() + ctx.usable_slots - 1) // ctx.usable_slots
+        model.prewarm_async(dim, n_blocks)
     print(f"Setup time: {prof.times['setup']:.2f}")
 
     with prof.phase("batch"):

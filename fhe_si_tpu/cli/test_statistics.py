@@ -52,6 +52,12 @@ def main(argv):
         ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
         source = sampling.RandomSource(seed)
         stats = st.Statistics(ctx, source)
+        # compile every batched pipeline shape in the background while
+        # the host batches/embeds data (the remote compiler is idle
+        # otherwise; cold per-shape compiles used to land serially in
+        # the computation/decryption phases)
+        n_blocks = (n_rows + ctx.usable_slots - 1) // ctx.usable_slots
+        stats.prewarm_async(dim, n_blocks)
     print(f"Setup time: {prof.times['setup']:.2f}")
 
     with prof.phase("batch"):

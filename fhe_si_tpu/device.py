@@ -508,6 +508,12 @@ class DeviceContext:
         return self._wrap(jax.vmap(self._decrypt, in_axes=(None, 0, None)))
 
     @cached_property
+    def batched_reduce_signed_op(self):
+        """Signed Reduce mod 2^logQ to the canonical n_ct width for a
+        batch of wide parts (decrypt_batch width canonicalization)."""
+        return self._wrap(lambda C, parts: self._reduce_signed(C, parts))
+
+    @cached_property
     def add_op(self):
         return self._wrap(
             lambda C, a, b: self._reduce_signed(C, lb.add(a, b)))

@@ -32,22 +32,37 @@ Poly = list[int]  # dense coefficients, index = degree, length = phim (padded)
 
 
 # ------------------------------------------------------------------ poly core
+def _pack(coeffs: Poly, nbytes: int) -> int:
+    """Nonnegative coefficients < 2^(8*nbytes) -> one big int at that
+    spacing.  int.from_bytes over a joined buffer is O(n*nbytes) — the
+    naive sum(c << (bits*i)) is quadratic in n and dominated the oracle
+    at phim >= 4096."""
+    return int.from_bytes(
+        b"".join(c.to_bytes(nbytes, "little") for c in coeffs), "little")
+
+
 def _kron_mul(a: Poly, b: Poly, bits: int) -> Poly:
     """Exact signed polynomial product via Kronecker substitution:
-    pack at 2^bits spacing, one big-int multiply, balanced-digit unpack."""
-    pa = sum(c << (bits * i) for i, c in enumerate(a))
-    pb = sum(c << (bits * i) for i, c in enumerate(b))
+    pack at 2^bits spacing (positive/negative parts packed separately,
+    byte-aligned), one big-int multiply, balanced-digit unpack via one
+    to_bytes conversion (linear, like the packing)."""
+    nb = bits // 8
+    pa = (_pack([c if c > 0 else 0 for c in a], nb)
+          - _pack([-c if c < 0 else 0 for c in a], nb))
+    pb = (_pack([c if c > 0 else 0 for c in b], nb)
+          - _pack([-c if c < 0 else 0 for c in b], nb))
     prod = pa * pb
-    out = []
-    half = 1 << (bits - 1)
-    mask = (1 << bits) - 1
     n_out = len(a) + len(b) - 1
-    for _ in range(n_out):
-        d = ((prod + half) & mask) - half
-        out.append(d)
-        prod = (prod - d) >> bits
-    assert prod == 0
-    return out
+    half = 1 << (bits - 1)
+    # balanced digits d_i in [-half, half): prod + sum(half << bits*i)
+    # has plain base-2^bits digits d_i + half in [0, 2^bits), extracted
+    # with one to_bytes pass
+    u = prod + _pack([half] * n_out, nb)
+    assert u >= 0 and u.bit_length() <= bits * n_out, \
+        "Kronecker spacing too small for the product"
+    buf = u.to_bytes(nb * n_out, "little")
+    return [int.from_bytes(buf[i * nb:(i + 1) * nb], "little") - half
+            for i in range(n_out)]
 
 
 def poly_mul(a: Poly, b: Poly) -> Poly:
@@ -56,19 +71,22 @@ def poly_mul(a: Poly, b: Poly) -> Poly:
     ma = max(abs(c) for c in a)
     mb = max(abs(c) for c in b)
     bits = (ma * mb * min(len(a), len(b))).bit_length() + 2
-    return _kron_mul(a, b, max(bits, 4))
+    return _kron_mul(a, b, max((bits + 7) // 8 * 8, 8))
 
 
 def poly_mod_phim(a: Poly, phim_x) -> Poly:
-    """Remainder of a modulo the monic Phi_m(X)."""
+    """Remainder of a modulo the monic Phi_m(X).  Iterates only the
+    nonzero Phi coefficients — for power-of-two m, Phi = X^phim + 1 and
+    the reduction is O(phim) instead of O(phim^2)."""
     deg_phi = len(phim_x) - 1
+    nz = [(j, pj) for j, pj in enumerate(phim_x) if pj and j < deg_phi]
     a = list(a)
     for i in range(len(a) - 1, deg_phi - 1, -1):
         c = a[i]
         if c:
-            for j in range(deg_phi + 1):
-                a[i - deg_phi + j] -= c * phim_x[j]
-        # top coefficient is now zero by construction
+            a[i] = 0  # monic top term
+            for j, pj in nz:
+                a[i - deg_phi + j] -= c * pj
     return a[:deg_phi]
 
 

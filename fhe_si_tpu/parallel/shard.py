@@ -368,6 +368,100 @@ def make_coeff_mesh(n: int, devices=None) -> Mesh:
     return Mesh(np.array(devices[:n]), ('coeff',))
 
 
+def ct_coeff_sharded_ntt(dev, mesh: Mesh, forward: bool = True):
+    """Two-level Cooley-Tukey NTT (ops/ntt_ct.py) with the phi(m) axis
+    sharded over 'coeff' — the sequence-parallel hop pattern on the
+    large-m transform family (SURVEY §5: NTT butterfly super-stages as
+    collectives over ICI).
+
+    The factorization contracts c2 (inner DFT) then c1 (outer DFT), so
+    each stage computes its Karatsuba shift groups on the locally-owned
+    slice of the contraction axis and ONE psum per stage delivers the
+    full groups (the groups are linear in x and bounded for the full
+    contraction, ops/ntt.karatsuba_groups); the Barrett-Horner combine
+    and the twiddle/chirp elementwise stages run replicated, and each
+    shard keeps its contiguous output block (reduce-scatter pattern).
+    2 psums per transform.
+
+    Forward input x [B, L, N] is sharded on its last axis: contiguous
+    blocks of c = c1 + N1*c2 are c2-slices (c1 fast), so S must divide
+    N2; outputs are j1-slices of j = j2 + N2*j1, so S must divide N1.
+    The inverse runs the mirror image.  Bit-identical to the unsharded
+    dev.ntt_fwd/ntt_inv (tests/test_sharding.py).
+    """
+    assert dev.use_ct, "ct_coeff_sharded_ntt needs a power-of-two-m context"
+    N1, N2 = dev.ct_split
+    S = mesh.shape['coeff']
+    assert N1 % S == 0 and N2 % S == 0, \
+        f"coeff shards {S} must divide both CT factors {N1}x{N2}"
+    T = dev.C['ct']
+    w = T['t1'].shape[0] == ntt.N_PLANES_W
+
+    def groups_psum(chunks_local, x_local, q, qinv_f):
+        g = ntt.karatsuba_groups(chunks_local, x_local)
+        g = jax.lax.psum(g, 'coeff')
+        return ntt.horner_combine(g, q, qinv_f)
+
+    def fwd(Tl, x_loc):
+        q, qi = Tl['q'], Tl['qinv_f']
+        i = jax.lax.axis_index('coeff')
+        y = modular.mod_mul(x_loc, Tl['chirp'], q, qi, w)  # chirp sharded
+        *lead, L, Nl = y.shape
+        y = y.reshape(*lead, L, N2 // S, N1)     # local c2 rows, c1 fast
+        y = jnp.moveaxis(y, -1, -3)              # [.., c1, L, c2_loc]
+        z = groups_psum(Tl['t2'], y, q, qi)      # psum #1 -> [.., c1, L, N2]
+        z = modular.mod_mul(z, Tl['tw'], q, qi, w)   # replicated twiddle
+        z = jax.lax.dynamic_slice_in_dim(z, i * (N1 // S), N1 // S, axis=-3)
+        z = jnp.swapaxes(z, -1, -3)              # [.., N2, L, c1_loc]
+        out = groups_psum(Tl['t1'], z, q, qi)    # psum #2 -> [.., j2, L, N1]
+        out = jnp.swapaxes(out, -1, -3)          # [.., j1, L, j2]
+        *lead, n1, L, n2 = out.shape
+        out = jnp.moveaxis(out, -3, -2).reshape(*lead, L, n1 * n2)
+        # keep this shard's contiguous j-block (j1-slice, all j2)
+        return jax.lax.dynamic_slice_in_dim(out, i * (N1 // S) * N2,
+                                            (N1 // S) * N2, axis=-1)
+
+    def inv(Tl, e_loc):
+        q, qi = Tl['q'], Tl['qinv_f']
+        i = jax.lax.axis_index('coeff')
+        *lead, L, Nl = e_loc.shape               # j1-slice: j2 fast
+        y = e_loc.reshape(*lead, L, N1 // S, N2)
+        y = jnp.moveaxis(y, -2, -3)              # [.., j1_loc, L, j2]
+        y = jnp.swapaxes(y, -1, -3)              # [.., j2, L, j1_loc]
+        z = groups_psum(Tl['t1i'], y, q, qi)     # psum #1 -> [.., j2, L, N1]
+        z = jnp.swapaxes(z, -1, -3)              # [.., c1, L, j2]
+        z = modular.mod_mul(z, Tl['twi'], q, qi, w)
+        z = jax.lax.dynamic_slice_in_dim(z, i * (N2 // S), N2 // S, axis=-1)
+        out = groups_psum(Tl['t2i'], z, q, qi)   # psum #2 -> [.., c1, L, N2]
+        z = jnp.moveaxis(out, -3, -1)            # [.., L, c2, c1]
+        *lead, L, n2, n1 = z.shape
+        z = z.reshape(*lead, L, n2 * n1)         # c = c1 + N1*c2
+        z = modular.mod_mul(z, Tl['chirp_inv'], q, qi, w)
+        # keep this shard's contiguous c-block (c2-slice, all c1)
+        return jax.lax.dynamic_slice_in_dim(z, i * (N2 // S) * N1,
+                                            (N2 // S) * N1, axis=-1)
+
+    cs = P(None, None, None, 'coeff')            # chunk planes: contraction
+    Tspec = dict(q=P(None, None), qinv_f=P(None, None),
+                 t1=cs if forward else P(None, None, None, None),
+                 t2=cs if forward else P(None, None, None, None),
+                 t1i=P(None, None, None, None) if forward else cs,
+                 t2i=P(None, None, None, None) if forward else cs,
+                 tw=P(None, None, None), twi=P(None, None, None),
+                 chirp=P(None, 'coeff') if forward else P(None, None),
+                 chirp_inv=P(None, None),
+                 chirp_inv_crt=P(None, None))
+    Tuse = {k: T[k] for k in Tspec}
+    step = fwd if forward else inv
+    sm = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(Tspec, P(None, None, 'coeff')),
+        out_specs=P(None, None, 'coeff'),
+        check_vma=False)
+    jitted = jax.jit(sm)
+    return lambda x: jitted(Tuse, x)
+
+
 def coeff_sharded_ntt(dev, mesh: Mesh, forward: bool = True):
     """Modular DFT matmul with phi(m) sharded over 'coeff'.
 

@@ -79,14 +79,29 @@ class FheSecretKey:
         return Plaintext(self.ctx, np.asarray(msg))
 
     def decrypt_batch(self, cts: list["Ciphertext"]) -> list[Plaintext]:
-        """One fused device dispatch for many (2-part) decryptions."""
+        """One fused device dispatch for many (2-part) decryptions.
+
+        Widths are CANONICALIZED first: wider-than-n_ct parts (unreduced
+        automorph outputs) are reduced mod 2^logQ down to the single
+        n_ct width — output-invariant (decrypt re-reduces wide inputs
+        anyway; the rounding quotient shifts by exactly t*p under
+        d -> d + t*q) — so the compiled decrypt shape no longer depends
+        on the batch's width MIX.  Width mixes used to multiply compiled
+        shapes and dominated cold CLI runs (768 s decryption in the
+        round-3 statistics log)."""
         from .ops import limbs as lb
         dev = device_context(self.ctx)
         ps = [ct.relinearized_view().parts[:2] for ct in cts]
-        # a batch may mix fresh (n_ct) and rotated/unreduced (wider)
-        # ciphertexts: sign-extend to the max width (value-preserving)
-        nw = max(p.shape[-1] for p in ps)
-        parts = jnp.stack([lb.match_width(p, nw) for p in ps])
+        n_ct = self.ctx.n_limbs_ct
+        by_width: dict[int, list[int]] = {}
+        for i, p in enumerate(ps):
+            if p.shape[-1] > n_ct:
+                by_width.setdefault(p.shape[-1], []).append(i)
+        for idxs in by_width.values():   # one dispatch per distinct width
+            red = dev.batched_reduce_signed_op(jnp.stack([ps[i] for i in idxs]))
+            for j, i in enumerate(idxs):
+                ps[i] = red[j]
+        parts = jnp.stack([lb.match_width(p, n_ct) for p in ps])
         msgs = np.asarray(dev.batched_decrypt_op(parts, self.sk_evals[:2]))
         return [Plaintext(self.ctx, msgs[i]) for i in range(len(cts))]
 
@@ -139,6 +154,32 @@ def keygen(ctx: FheContext,
         jnp.asarray(rnd.s, dtype=jnp.int32),
         jnp.asarray(rnd.c0, dtype=jnp.int32), c1_limbs)
     return FheSecretKey(ctx, sk_evals), FhePublicKey(ctx, pk_evals, pk_limbs)
+
+
+def prewarm_async(thunks) -> list:
+    """Compile pipeline shapes ahead of first use: run each zero-argument
+    thunk (a pipeline call on zero-filled arrays of the production shape)
+    in a daemon thread.  jit compiles on first call under a per-function
+    lock, so when the real call arrives it either finds the executable
+    ready or blocks on the in-flight compile it would have paid anyway.
+    On the axon runtime compiles run on a REMOTE compiler server, so
+    these threads cost no host CPU — they overlap the host-bound batch/
+    embed phases.  Results are discarded; zero inputs are valid residues
+    everywhere, so no pipeline asserts fire."""
+    import threading
+
+    def run(t):
+        try:
+            t()
+        except Exception:       # prewarm must never break the real run
+            pass
+
+    out = []
+    for t in thunks:
+        th = threading.Thread(target=run, args=(t,), daemon=True)
+        th.start()
+        out.append(th)
+    return out
 
 
 # ----------------------------------------------------------------- key switch

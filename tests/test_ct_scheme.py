@@ -1,0 +1,121 @@
+"""Power-of-two-m contexts: the scheme running end to end on the
+two-level Cooley-Tukey transform family (ops/ntt_ct.py wired through
+DeviceContext) — the O(L*m)-memory path that scales past phim ~ 4k,
+matching the reference's only scaling mechanism (Bluestein, O(m) memory
+at any m, /root/reference/bluestein.cpp:92-144).
+"""
+import numpy as np
+import pytest
+
+from fhe_si_tpu import sampling, scheme
+from fhe_si_tpu.context import FheContext
+from fhe_si_tpu.hostmath import oracle
+
+from test_wide_lane import run_scheme_parity
+
+
+def test_ct_context_shape():
+    ctx = FheContext(m=32, log_q=80, p=97, generator=3)
+    assert ctx.use_ct and not ctx.wide
+    assert ctx.phim == 16 and ctx.total_slots == 16
+    assert ctx.slot_cycles == 2 and ctx.usable_slots == 8  # ord_32(3) = 8
+    from fhe_si_tpu.device import device_context
+    dev = device_context(ctx)
+    assert dev.use_ct and 'fwd_chunks' not in dev.C and 'ct' in dev.C
+
+
+def test_ct_fwd_matches_dense():
+    """ct_fwd/ct_inv wired through DeviceContext produce the exact same
+    evaluations as the dense DFT-matmul family (context.ntt_tables is
+    still available at small m for the cross-check)."""
+    import jax.numpy as jnp
+    from fhe_si_tpu.device import device_context
+    from fhe_si_tpu.ops import ntt
+
+    ctx = FheContext(m=32, log_q=80, p=97, generator=3)
+    dev = device_context(ctx)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(0, ctx.primes[:, None],
+                                 size=(3, ctx.num_primes, ctx.phim)),
+                    jnp.int32)
+    fwd, inv = ctx.ntt_tables
+    q = jnp.asarray(ctx.primes[:, None], jnp.int32)
+    qinv = jnp.asarray((1.0 / ctx.primes[:, None]).astype(np.float32))
+    dense_fwd = ntt.modmatmul(jnp.asarray(ntt.chunk_matrix(fwd)), x, q, qinv)
+    assert np.array_equal(np.asarray(dev.ntt_fwd(x)), np.asarray(dense_fwd))
+    # raw inverse roundtrip
+    back = dev.ntt_inv(dev.ntt_fwd(x))
+    assert np.array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_ct_scheme_parity_narrow():
+    run_scheme_parity(FheContext(m=32, log_q=80, p=97, generator=3))
+
+
+def test_ct_scheme_parity_wide():
+    """CT family on the wide 23-bit lane — the m >= 2^14 configuration
+    at miniature scale."""
+    run_scheme_parity(FheContext(m=32, log_q=80, p=97, generator=3,
+                                 prime_bits=23))
+
+
+def test_ct_slot_packing_roundtrip():
+    ctx = FheContext(m=64, log_q=80, p=193, generator=3)  # ord_64(3) = 16
+    assert ctx.slot_cycles == 2 and ctx.usable_slots == 16
+    vals = np.arange(1, ctx.total_slots + 1, dtype=np.int64)
+    poly = ctx.embed_in_slots(vals, only_usable=False)
+    assert np.array_equal(ctx.decode_slots(poly), vals % ctx.p)
+    # automorph-by-g on a plaintext = per-cycle slot shift
+    rot = oracle.plaintext_rotate(ctx, poly, 1)
+    got = ctx.decode_slots(rot)
+    want = ctx.rotate_slots(vals % ctx.p, 1)
+    assert np.array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_ct_scheme_parity_m8192():
+    """Test_AddMul-style device-vs-oracle parity at m = 2^13 (phim=4096)
+    — the round-4 verdict's 'Done' gate for the large-m integration.
+    Single fixed-seed trial (the 5000-trial contract runs via the CLI)."""
+    ctx = FheContext(m=8192, log_q=80, p=40961, generator=3)
+    assert ctx.use_ct and ctx.phim == 4096
+    run_scheme_parity(ctx, seed=11)
+
+
+@pytest.mark.slow
+def test_ct_scheme_parity_m16384_wide():
+    """m = 2^14 (phim=8192) at logQ=170 — unreachable on the 20-bit lane
+    (9 qualifying primes < 2^20 cap logQ at ~63); the wide 23-bit chain
+    funds it with 18 primes.  Lean circuit (encrypt/decrypt, mul+relin)
+    to keep the CPU oracle time bounded."""
+    ctx = FheContext(m=16384, log_q=170, p=65537, generator=3)
+    assert ctx.use_ct and ctx.wide and ctx.phim == 8192
+    src_d, src_o = sampling.RandomSource(3), sampling.RandomSource(3)
+    kg_d = sampling.sample_keygen(src_d, ctx.phim, ctx.stdev, ctx.log_q)
+    kg_o = sampling.sample_keygen(src_o, ctx.phim, ctx.stdev, ctx.log_q)
+    sk_d, pk_d = scheme.keygen(ctx, kg_d)
+    sk_o, pk_o = oracle.keygen(ctx, kg_o)
+    m1 = src_d.uniform_mod_p(ctx.phim, ctx.p)
+    src_o.uniform_mod_p(ctx.phim, ctx.p)
+    m2 = src_d.uniform_mod_p(ctx.phim, ctx.p)
+    src_o.uniform_mod_p(ctx.phim, ctx.p)
+    e1d = sampling.sample_encrypt(src_d, ctx.phim, ctx.stdev)
+    e1o = sampling.sample_encrypt(src_o, ctx.phim, ctx.stdev)
+    e2d = sampling.sample_encrypt(src_d, ctx.phim, ctx.stdev)
+    e2o = sampling.sample_encrypt(src_o, ctx.phim, ctx.stdev)
+    c1_d = pk_d.encrypt(scheme.Plaintext(ctx, m1), e1d)
+    c1_o = oracle.encrypt(pk_o, m1, e1o)
+    c2_d = pk_d.encrypt(scheme.Plaintext(ctx, m2), e2d)
+    c2_o = oracle.encrypt(pk_o, m2, e2o)
+    assert c1_d.to_python_parts() == c1_o.parts
+    kr_d = sampling.sample_keyswitch(src_d, ctx.phim, ctx.stdev, ctx.log_q,
+                                     3, ctx.ndigits)
+    kr_o = sampling.sample_keyswitch(src_o, ctx.phim, ctx.stdev, ctx.log_q,
+                                     3, ctx.ndigits)
+    ksw_d = scheme.KeySwitch.for_relinearization(sk_d, kr_d)
+    ksw_o = oracle.keyswitch_init_s2(sk_o, kr_o)
+    cm_d = ksw_d.apply(c1_d * c2_d)
+    cm_o = oracle.apply_keyswitch(ksw_o, oracle.mul(c1_o, c2_o))
+    assert cm_d.to_python_parts() == cm_o.parts
+    assert list(sk_d.decrypt(cm_d).message) == list(
+        oracle.plaintext_mul(ctx, m1, m2))

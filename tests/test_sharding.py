@@ -127,6 +127,35 @@ def test_coeff_sharded_pipeline_bit_exact(setup):
     assert np.array_equal(got, want)
 
 
+def test_ct_coeff_sharded_ntt_bit_exact():
+    """The two-level Cooley-Tukey NTT with phi(m) sharded over 'coeff'
+    (2 psums per transform: one per contracted factor) must match the
+    single-device CT transform bit-for-bit, forward and inverse."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from fhe_si_tpu.parallel.shard import ct_coeff_sharded_ntt, make_coeff_mesh
+
+    ctx = FheContext(m=256, log_q=80, p=257, generator=3)
+    dev = device_context(ctx)
+    assert dev.use_ct and dev.ct_split == (16, 8)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.integers(0, ctx.primes[:, None],
+                                 size=(5, ctx.num_primes, ctx.phim)),
+                    jnp.int32)
+    m = make_coeff_mesh(8)
+    sh = jax.sharding.NamedSharding(
+        m, jax.sharding.PartitionSpec(None, None, 'coeff'))
+    ev_want = np.asarray(dev.ntt_fwd(x))
+    got = np.asarray(ct_coeff_sharded_ntt(dev, m, True)(
+        jax.device_put(x, sh)))
+    assert np.array_equal(got, ev_want)
+    inv_want = np.asarray(dev.ntt_inv(jnp.asarray(ev_want)))
+    got_inv = np.asarray(ct_coeff_sharded_ntt(dev, m, False)(
+        jax.device_put(jnp.asarray(ev_want), sh)))
+    assert np.array_equal(got_inv, inv_want)
+    assert np.array_equal(got_inv, np.asarray(x))
+
+
 def test_coeff_sharded_ntt_bit_exact(setup):
     """phi(m)-axis sharded NTT (psum of Karatsuba shift groups) must equal
     the single-device transform bit-for-bit, forward and inverse."""
