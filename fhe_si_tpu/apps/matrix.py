@@ -48,6 +48,18 @@ class Matrix:
         assert not self.transposed, "cannot add a row to a transposed matrix"
         self.rows.append(list(row))
 
+    def concatenate(self, other: "Matrix") -> "Matrix":
+        """Row-wise append of `other` (Matrix<T>::Concatenate,
+        Matrix.cpp:294-298).  The reference silently no-ops on a
+        transposed *destination*; this returns a new matrix instead of
+        mutating, matching the library's functional style."""
+        assert not self.transposed, \
+            "cannot concatenate onto a transposed matrix"
+        m = self.copy()
+        m.rows.extend([other.at(i, j) for j in range(other.num_cols())]
+                      for i in range(other.num_rows()))
+        return m
+
     def transpose(self) -> "Matrix":
         m = self.copy()
         m.transposed = not m.transposed

@@ -7,10 +7,12 @@ usage: python -m fhe_si_tpu.cli.test_general [p g logQ] [seed] [--m=M]
 
 --m=M overrides the ring index (default m = p-1).  When ord_m(p) > 1 the
 plaintext slots are GF(p^d) extension fields (PlaintextSpace.cpp:28-59);
-messages are then random per-slot CONSTANTS, the regime in which slot
-rotation by the ciphertext automorphism and Plaintext::operator>>= agree
-(base-field values are Frobenius-fixed) — the same regime the reference's
-own FindSlots exercises (PlaintextSpace.cpp:69-83 embeds integers).
+messages are then FULL random GF(p^d) slot vectors (d coefficients per
+slot).  In that regime the plaintext mirror of the rotation step is the
+ring automorphism X -> X^(g^k) itself (Plaintext.automorph): the
+reference's decode/roll/embed rotate (Plaintext.h:88-97) agrees with the
+ciphertext automorphism only on Frobenius-fixed base-field constants, a
+circuit the reference itself only ever ran at d = 1.
 """
 import sys
 import time
@@ -47,9 +49,13 @@ def main(argv):
     auto_ksw = scheme.KeySwitch.for_automorph(sk, rot_deg, src)
 
     if ctx.slot_degree > 1:
+        # full GF(p^d) slot elements — d random coefficients per slot, so
+        # the circuit exercises genuine extension-field slot arithmetic
+        # (not just Frobenius-fixed per-slot constants)
         def rand_pt():
-            return scheme.Plaintext.from_slots(
-                ctx, src.uniform_mod_p(ctx.total_slots, p), only_usable=False)
+            vecs = src.rng.integers(
+                0, p, size=(ctx.total_slots, ctx.slot_degree), dtype=np.int64)
+            return scheme.Plaintext.from_slots(ctx, vecs, only_usable=False)
     else:
         def rand_pt():
             return scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, p))
@@ -64,7 +70,14 @@ def main(argv):
     p1 = p1 * p2
     p0 = p0 + const1
     p2 = p2 * const2
-    p3 = p3.rotate(rot_amt)
+    if ctx.slot_degree > 1:
+        # full GF(p^d) slot vectors: the faithful plaintext mirror of
+        # `c >> rot_deg` is the ring automorphism itself (decode/roll/
+        # embed rotation agrees only on Frobenius-fixed constants —
+        # oracle.plaintext_automorph docstring)
+        p3 = p3.automorph(rot_deg)
+    else:
+        p3 = p3.rotate(rot_amt)
     p1 = scheme.Plaintext(ctx, (p1.message * -1) % ctx.p)
     p3 = p3 * p2
     p0 = p0 - p3

@@ -424,6 +424,21 @@ def plaintext_mul(ctx: FheContext, a, b) -> np.ndarray:
     return np.array([c % ctx.p for c in pad(prod, ctx.phim)], dtype=np.int64)
 
 
+def plaintext_automorph(ctx: FheContext, a, t: int) -> np.ndarray:
+    """F(X) -> F(X^t) mod (Phi_m, p) — the exact plaintext image of the
+    ciphertext automorphism (Ciphertext.cpp:264-275 applied to the
+    message).  Coincides with plaintext_rotate(k) for t = g^k when every
+    slot holds a base-field constant; for full GF(p^d) slot elements the
+    decode/roll/embed rotate differs by a per-slot basis twist (the
+    remainder mod F_{j+1} of r_j(X^t) is not r_j), so this is the
+    faithful mirror of `ciphertext >> t`."""
+    up = [0] * ctx.m
+    for i, c in enumerate(np.asarray(a, dtype=np.int64)):
+        up[(i * t) % ctx.m] = (up[(i * t) % ctx.m] + int(c)) % ctx.p
+    red = pad(poly_mod_phim(up, ctx.phim_x), ctx.phim)
+    return np.array([c % ctx.p for c in red], dtype=np.int64)
+
+
 def plaintext_rotate(ctx: FheContext, a, k: int) -> np.ndarray:
     """Plaintext::operator>>= (Plaintext.h:88-97): new[j] = old[(j+k) % n]
     over all totalSlots.  With extension-field slots the decoded slot

@@ -61,6 +61,14 @@ class Plaintext:
         from .hostmath import oracle
         return Plaintext(self.ctx, oracle.plaintext_rotate(self.ctx, self.message, k))
 
+    def automorph(self, t: int) -> "Plaintext":
+        """Message-level X -> X^t mod (Phi_m, p): the exact plaintext
+        image of `ciphertext >> t`.  Equals rotate(k) for t = g^k on
+        base-field slot values; see oracle.plaintext_automorph."""
+        from .hostmath import oracle
+        return Plaintext(self.ctx,
+                         oracle.plaintext_automorph(self.ctx, self.message, t))
+
     def __repr__(self):
         return f"Plaintext({self.message.tolist()})"
 

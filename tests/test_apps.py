@@ -27,6 +27,21 @@ def test_matrix_over_ints():
     assert (m - Matrix([[1, 1], [1, 1]])).rows == [[0, 1], [2, 3]]
 
 
+def test_matrix_concatenate():
+    """Row-wise append semantics of Matrix<T>::Concatenate
+    (Matrix.cpp:294-298), including a transposed source."""
+    a = Matrix([[1, 2], [3, 4]])
+    b = Matrix([[5, 6], [7, 8]])
+    c = a.concatenate(b)
+    assert c.rows == [[1, 2], [3, 4], [5, 6], [7, 8]]
+    assert a.rows == [[1, 2], [3, 4]]  # functional: source untouched
+    # a transposed source is read through its logical (i, j) view
+    ct = a.concatenate(b.transpose())
+    assert ct.rows == [[1, 2], [3, 4], [5, 7], [6, 8]]
+    with pytest.raises(AssertionError):
+        a.transpose().concatenate(b)
+
+
 @pytest.mark.parametrize("n", [2, 3, 4, 5])
 def test_invert_batched_matches_invert(n):
     """invert_batched over plain ints == the recursive adjugate invert
