@@ -113,8 +113,17 @@ def bench_device(batch=16384, steps=32):
     ntt_steps = NTT_PROBE["steps"]
 
     def ntt_chain(C, x):
+        # fwd + RAW inverse roundtrip on the full chain — identical
+        # semantics to the v3 probe; the primitives moved behind the
+        # per-basis transform-family dispatch (_fwd_t / ntt_inv path)
         def body(cur, _):
-            return dev._ntt(C, 'inv_chunks', dev._ntt(C, 'fwd_chunks', cur)), ()
+            ev = dev._fwd_t(dev._full_as_subset(C), cur)
+            if dev.use_ct:
+                from fhe_si_tpu.ops import ntt_ct
+                back = ntt_ct.ct_inv(C['ct'], ev, *dev.ct_split)
+            else:
+                back = dev._ntt_raw(C['inv_chunks'], ev, C['q'], C['qinv_f'])
+            return back, ()
         y, _ = jax.lax.scan(body, x, None, length=ntt_steps)
         return jnp.sum(y)
 

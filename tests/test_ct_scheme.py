@@ -90,7 +90,21 @@ def test_ct_scheme_parity_m16384_wide():
     to keep the CPU oracle time bounded."""
     ctx = FheContext(m=16384, log_q=170, p=65537, generator=3)
     assert ctx.use_ct and ctx.wide and ctx.phim == 8192
-    src_d, src_o = sampling.RandomSource(3), sampling.RandomSource(3)
+    run_lean_parity(ctx, seed=3)
+
+
+@pytest.mark.slow
+def test_ct_scheme_parity_m32768_wide():
+    """m = 2^15 (phim=16384): the wide lane holds 32 qualifying primes
+    < 2^23 (690 bits), funding logQ=170 with room to spare — one octave
+    past the round-4 verdict's 8192 gate, same machinery."""
+    ctx = FheContext(m=32768, log_q=170, p=65537, generator=3)
+    assert ctx.use_ct and ctx.wide and ctx.phim == 16384
+    run_lean_parity(ctx, seed=7)
+
+
+def run_lean_parity(ctx, seed):
+    src_d, src_o = sampling.RandomSource(seed), sampling.RandomSource(seed)
     kg_d = sampling.sample_keygen(src_d, ctx.phim, ctx.stdev, ctx.log_q)
     kg_o = sampling.sample_keygen(src_o, ctx.phim, ctx.stdev, ctx.log_q)
     sk_d, pk_d = scheme.keygen(ctx, kg_d)
