@@ -8,9 +8,9 @@ Prints ONE JSON line to stdout:
 value/vs_baseline follow the driver contract; the secondary keys pin the
 numbers that matter for round-over-round comparison: the regression-scale
 dense config (big: p=4007 phim=2002 L=21 logQ=170), the Cooley-Tukey
-power-of-two config (ct4096: m=2^13 phim=4096 logQ=80), and the pinned
-NTT/ScaleDown probes.  `--ct8k` additionally times the wide-lane
-m=2^14/logQ=170 config (stderr only).
+power-of-two config (ct4096: m=2^13 phim=4096 logQ=80, plus its MFU as
+mfu_ct), the wide-lane config (ct8k: m=2^14 logQ=170, 23-bit lane), and
+the pinned NTT/ScaleDown probes.
 
 vs_baseline divides by the measured single-threaded CPU rate of the
 pure-Python oracle (hostmath/oracle.py), which faithfully implements the
@@ -120,7 +120,7 @@ def bench_device(batch=16384, steps=32):
             ev = dev._fwd_t(dev._full_as_subset(C), cur)
             if dev.use_ct:
                 from fhe_si_tpu.ops import ntt_ct
-                back = ntt_ct.ct_inv(C['ct'], ev, *dev.ct_split)
+                back = ntt_ct.ct_inv(C['ct'], ev, dev.ct_meta)
             else:
                 back = dev._ntt_raw(C['inv_chunks'], ev, C['q'], C['qinv_f'])
             return back, ()
@@ -249,13 +249,14 @@ def bench_ct(m=8192, p=40961, log_q=80, batch=64, steps=16):
     # + 2*ndigits digit NTTs + 2 keyswitch iNTTs (subset basis)
     n_tf = 4 * L + 3 * L + (2 * ctx.ndigits + 2) * Lk
     tops = rate * n_tf * macs_pt * 2 / 1e12   # MAC = 2 ops
+    mfu = 100 * tops / 394
     print(f"[bench] CT config m={m} phim={ctx.phim} L={L} logQ={log_q} "
           f"lane={ctx.prime_bits}b N1xN2={N1}x{N2}: {rate:.1f} mults/s "
           f"(batch={batch}, {steps} steps, {step_s*1e3:.1f} ms/step); "
           f"{n_tf} prime-transforms/mult x {macs_pt/1e6:.1f} MMACs = "
-          f"{tops:.1f} Tops/s sustained = {100*tops/394:.1f}% of v5e int8 peak",
+          f"{tops:.1f} Tops/s sustained = {mfu:.1f}% of v5e int8 peak",
           file=sys.stderr)
-    return rate
+    return rate, mfu
 
 
 def main():
@@ -263,9 +264,11 @@ def main():
     dev_rate, ntt_rate, scale_ms = bench_device()
     cpu_rate = bench_oracle()
     big_rate = bench_big()
-    ct_rate = bench_ct()
-    if "--ct8k" in sys.argv:
-        bench_ct(m=16384, p=65537, log_q=170, batch=16, steps=8)
+    ct_rate, ct_mfu = bench_ct()
+    # wide-lane (23-bit, m >= 2^14) config: pinned in the driver JSON so
+    # the 9-dot/7-group machinery's real cost is machine-recorded (r4
+    # verdict: "nobody knows what it costs in practice")
+    ct8k_rate, _ = bench_ct(m=16384, p=65537, log_q=170, batch=16, steps=8)
     # one driver-parsed line; secondary keys make rounds machine-comparable
     # (round-3 verdict: the meaningful numbers lived only in stderr prose)
     print(json.dumps({
@@ -275,6 +278,8 @@ def main():
         "vs_baseline": round(dev_rate / cpu_rate, 2),
         "big": round(big_rate, 1),
         "ct4096": round(ct_rate, 1),
+        "mfu_ct": round(ct_mfu, 2),
+        "ct8k": round(ct8k_rate, 1),
         "ntt_v3": round(ntt_rate),
         "scaledown_v3_ms": round(scale_ms, 3),
     }))

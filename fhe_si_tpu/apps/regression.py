@@ -133,13 +133,6 @@ class Regression:
         self.data = Matrix()
         self.labels = []
 
-    def _sum_batched(self, ct: scheme.Ciphertext) -> scheme.Ciphertext:
-        """Rotate-and-reduce over slots (Regression.h:166-178)."""
-        for k, ks in zip(self.auto_ks, self.auto_key_switch):
-            tmp = ks.apply(ct >> k)
-            ct = ct + tmp
-        return ct
-
     def _noise(self) -> scheme.Ciphertext:
         """Random values in every slot but slot 0 (Regression.h:180-190)."""
         vals = self.source.uniform_mod_p(self.ctx.total_slots, self.ctx.p)

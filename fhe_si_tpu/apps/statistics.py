@@ -135,11 +135,6 @@ class Statistics:
             self.data.add_row(cts[:-1])
             self.n_elems.append(cts[-1])
 
-    def _sum_batched(self, ct):
-        for k, ks in zip(self.auto_ks, self.auto_key_switch):
-            ct = ct + ks.apply(ct >> k)
-        return ct
-
     def _noise(self):
         vals = self.source.uniform_mod_p(self.ctx.total_slots, self.ctx.p)
         vals[0] = 0

@@ -1,7 +1,12 @@
 """CLI mirror of Test_Regression_x (Test_Regression.cpp:69-131).
 
 usage: python -m fhe_si_tpu.cli.test_regression datafile p generator [seed]
-           [--trace DIR]
+           [--trace DIR] [--m=M]
+
+--m=M overrides the ring index (default m = p-1, the reference's only
+mode, Test_Regression.cpp); any m with slots
+(m | p-1 or extension slots) works, e.g. a power-of-two or 2^a*q^b ring
+riding the Cooley-Tukey scaling family.
 
 --trace DIR captures an XLA/TPU profiler timeline of the regression
 phase (view with xprof/TensorBoard).
@@ -23,6 +28,11 @@ def main(argv):
         i = argv.index("--trace")
         trace_dir = argv[i + 1]
         del argv[i:i + 2]
+    m_override = None
+    for a in list(argv):
+        if a.startswith("--m="):
+            m_override = int(a.split("=", 1)[1])
+            argv.remove(a)
     if len(argv) < 4:
         print("usage: test_regression datafile p generator [seed] [--trace DIR]")
         return 1
@@ -47,7 +57,8 @@ def main(argv):
     # structured phase timing, reference phase names (SURVEY §5 row 1)
     prof = PhaseProfiler()
     with prof.phase("setup"):
-        ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
+        ctx = FheContext(m=m_override if m_override else p - 1,
+                         log_q=log_q, p=p, generator=g, xi=xi)
         source = sampling.RandomSource(seed)
         model = reg.Regression(ctx, source)
         # overlap pipeline compiles with the host-bound batch/embed work

@@ -1,7 +1,12 @@
 """CLI mirror of Test_Statistics_x (Test_Statistics.cpp:178-244).
 
 usage: python -m fhe_si_tpu.cli.test_statistics datafile p generator [seed]
-           [--trace DIR]
+           [--trace DIR] [--m=M]
+
+--m=M overrides the ring index (default m = p-1, the reference's only
+mode, Test_Statistics.cpp); any m with slots
+(m | p-1 or extension slots) works, e.g. a power-of-two or 2^a*q^b ring
+riding the Cooley-Tukey scaling family.
 """
 import contextlib
 import sys
@@ -20,6 +25,11 @@ def main(argv):
         i = argv.index("--trace")
         trace_dir = argv[i + 1]
         del argv[i:i + 2]
+    m_override = None
+    for a in list(argv):
+        if a.startswith("--m="):
+            m_override = int(a.split("=", 1)[1])
+            argv.remove(a)
     if len(argv) < 4:
         print("usage: test_statistics datafile p generator [seed] [--trace DIR]")
         return 1
@@ -49,7 +59,8 @@ def main(argv):
 
     prof = PhaseProfiler()
     with prof.phase("setup"):
-        ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g, xi=xi)
+        ctx = FheContext(m=m_override if m_override else p - 1,
+                         log_q=log_q, p=p, generator=g, xi=xi)
         source = sampling.RandomSource(seed)
         stats = st.Statistics(ctx, source)
         # compile every batched pipeline shape in the background while

@@ -66,6 +66,12 @@ PLAINTEXT_MAX_BITS = 30
 # rejected, never silently corrupted.
 MAX_KSW_PARTS = 4
 
+# Mixed-radix rings (even m, prime-power odd part) switch from the dense
+# transform family to the O(L*m) Cooley-Tukey family above this phim:
+# below it the dense MXU DFT is the measured-faster path (23.5% MFU at
+# phim=2002, BASELINE.md) and its tables fit comfortably.
+CT_PHIM_THRESHOLD = 2048
+
 # Structural bound on every Gaussian sample: sampling.gaussian_poly clamps
 # the Box-Muller radius at r2 >= 1e-300, so |sample| <= sqrt(-2*ln 1e-300)
 # * stdev + 1 < 37.2*stdev + 1.  (NumbTh.cpp:387-402 has the same shape;
@@ -272,12 +278,24 @@ class FheContext:
         # carry wider per-basis widths (fast_crt_tables 'n_rec').
         self.n_limbs_ct = (log_q + LIMB_BITS) // LIMB_BITS
 
-        # Power-of-two m: the scheme's NTTs run through the two-level
-        # Cooley-Tukey factorization (ops/ntt_ct.py) — O(L*m) tables
-        # instead of the dense O(L*phim^2) family, the only memory shape
-        # that scales past phim ~ 4k (the reference scales with Bluestein
-        # the same way: O(m) memory at any m, bluestein.cpp:92-144).
-        self.use_ct = (m & (m - 1) == 0) and m >= 8
+        # Scaling transform family: the scheme's NTTs run through the
+        # two-level Cooley-Tukey factorization (ops/ntt_ct.py) — O(L*m)
+        # tables instead of the dense O(L*phim^2) family, the only
+        # memory shape that scales past phim ~ 4k (the reference scales
+        # with Bluestein the same way: O(m) memory at any m,
+        # bluestein.cpp:92-144).  Covered rings: power-of-two m always;
+        # any even m whose odd part is an odd prime power (m = 2^a*q^b,
+        # e.g. the m = p-1 family for safe primes, or 40960 = 2^13*5)
+        # once phim outgrows the dense family's measured sweet spot.
+        from .ops.ntt_ct import ct_supported
+        self.use_ct = (m & (m - 1) == 0 and m >= 8) or (
+            ct_supported(m) and self.phim > CT_PHIM_THRESHOLD)
+        if not self.use_ct and self.phim > 4096:
+            raise NotImplementedError(
+                f"m={m} (phim={self.phim}) needs the dense O(L*phim^2) "
+                "transform tables, which are impractical past phim ~ 4k; "
+                "the scaling family covers even m with a prime-power odd "
+                "part (m = 2^a*q^b, ops/ntt_ct.py)")
 
         # ---- plaintext space ----
         self._init_plaintext_space()
@@ -708,6 +726,29 @@ class FheContext:
             # (H = RM = 1).  The generic sweep below computes the same
             # values — this is the O(1) shortcut for phim up to 2^15.
             return dict(G=2, H=1, RM=1)
+        odd = m
+        while odd % 2 == 0 and odd:
+            odd //= 2
+        if (m % 2 == 0 and odd > 1 and len(set(numbth.factorize(odd))) == 1
+                and phim > 512):
+            # m = 2^a * q^b (q odd prime), large ring: closed form.  With
+            # s = m/(2q), Phi_m(X) = sum_{i<q} (-1)^i X^(i*s)
+            # (Phi_m = Phi_2q(X^(m/2q))), so
+            #   k in [phim, m/2):  X^k = sum_{i<q-1} (-1)^(i+1) X^(i*s+r)
+            #       (r = k - phim < s) — q-1 entries, each +-1;
+            #   k in [m/2, m):     X^k = -X^(k-m/2), recursively a signed
+            #       monomial or the negated fold — entries +-1, mass q-1.
+            # Column sums over k in [phim, 2*phim-2]: each column gets
+            # exactly 1 from the fold rows (the unique row with matching
+            # r = c mod s) and at most 1 from the monomial rows
+            # k = m/2 + c, so G = 1 + 2 = 3 whenever both kinds land in
+            # range ((q-2)*s >= 2 — always at this size).  H = 1 (every
+            # row is +-1-sparse); RM = q-1 (the fold mass).  Verified
+            # against the generic sweep at small m in
+            # tests/test_context.py::test_reduction_growth_closed_form.
+            q_odd = min(set(numbth.factorize(odd)))
+            assert (q_odd - 2) * (m // (2 * q_odd)) >= 2
+            return dict(G=3, H=1, RM=q_odd - 1)
         if m == phim + 1:          # m prime: X^phim = -(1+X+...+X^(phim-1))
             # closed form avoids the dense row sweep; rowZ(k<phim) = X^k
             colsum = np.ones(phim, dtype=np.int64)       # the X^phim row

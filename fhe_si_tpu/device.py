@@ -106,6 +106,7 @@ class DeviceContext:
             ctt = ntt_ct.CtNttTables(ctx.m, ctx.primes, ctx.roots,
                                      wide=ctx.wide)
             self.ct_split = (ctt.N1, ctt.N2)
+            self.ct_meta = ctt.meta
             ct_full = ctt.pack()
             fwd_chunks_dev = inv_chunks_dev = None
         else:
@@ -130,15 +131,16 @@ class DeviceContext:
                 jnp.asarray((1.0 / q_np[:, None, None]).astype(np.float32)))
 
         def ct_with_crt(pack, fast_crt_np, q_np):
-            """CT pack + 'chirp_inv_crt': the basis binv folded into the
-            inverse chirp (the last elementwise stage of ct_inv) — the
-            CT analog of prescale_inv."""
-            q_dev = as32(q_np[:, None])
-            qi = jnp.asarray((1.0 / q_np[:, None]).astype(np.float32))
+            """CT pack + 't2i_crt': the basis binv folded into the
+            inverse inner-DFT planes (the last per-prime matmul of
+            ct_inv) — the CT analog of prescale_inv.  The raw 't2i'
+            stays for the public ntt_inv / SingleCrt conversions."""
+            q_dev = as32(q_np[:, None, None])
+            qi = jnp.asarray((1.0 / q_np[:, None, None]).astype(np.float32))
             pack = dict(pack)
-            pack['chirp_inv_crt'] = modular.mod_mul(
-                pack['chirp_inv'], as32(binv_scale(fast_crt_np)[:, None]),
-                q_dev, qi, ctx.wide)
+            pack['t2i_crt'] = ntt.prescale_planes(
+                pack['t2i'], as32(binv_scale(fast_crt_np)[:, None, None]),
+                q_dev, qi)
             return pack
 
         def ct_subset_pack(rows_dev):
@@ -151,9 +153,7 @@ class DeviceContext:
                 t1i=jnp.take(ct_full['t1i'], rows_dev, axis=1),
                 t2i=jnp.take(ct_full['t2i'], rows_dev, axis=1),
                 tw=jnp.take(ct_full['tw'], rows_dev, axis=1),
-                twi=jnp.take(ct_full['twi'], rows_dev, axis=1),
-                chirp=jnp.take(ct_full['chirp'], rows_dev, axis=0),
-                chirp_inv=jnp.take(ct_full['chirp_inv'], rows_dev, axis=0))
+                twi=jnp.take(ct_full['twi'], rows_dev, axis=1))
 
         def subset_tables(rows, fast_crt_np):
             if len(rows) >= ctx.num_primes:
@@ -211,9 +211,7 @@ class DeviceContext:
             p_limbs=jnp.asarray(int_to_limbs(ctx.p, 4)),
         )
         if ctx.use_ct:
-            # full-chain CT pack; 'chirp_inv_crt' carries the full-basis
-            # binv (raw 'chirp_inv' stays for the public ntt_inv /
-            # SingleCrt conversions)
+            # full-chain CT pack; 't2i_crt' carries the full-basis binv
             self.C['ct'] = ct_with_crt(ct_full, ft, ctx.primes)
         else:
             self.C['fwd_chunks'] = fwd_chunks_dev
@@ -315,15 +313,15 @@ class DeviceContext:
         matmul or the two-level Cooley-Tukey factorization — selected by
         the table family (static per context)."""
         if 'ct' in T:
-            return ntt_ct.ct_fwd(T['ct'], x, *self.ct_split)
+            return ntt_ct.ct_fwd(T['ct'], x, self.ct_meta)
         return self._ntt_raw(T['fwd_chunks'], x, T['q'], T['qinv_f'])
 
     def _inv_crt_t(self, T, x):
         """Inverse transform with the basis binv prescaled in (feeds the
         single-pass CRT reconstruction with prescaled=True)."""
         if 'ct' in T:
-            return ntt_ct.ct_inv(T['ct'], x, *self.ct_split,
-                                 chirp_key='chirp_inv_crt')
+            return ntt_ct.ct_inv(T['ct'], x, self.ct_meta,
+                                 t2i_key='t2i_crt')
         return self._ntt_raw(T['inv_chunks'], x, T['q'], T['qinv_f'])
 
     def _full_as_subset(self, C):
@@ -413,7 +411,7 @@ class DeviceContext:
         """RAW full-chain inverse (no CRT prescale): the public
         Cmodulus::iFFT analog for SingleCrt conversions and tests."""
         if self.use_ct:
-            return ntt_ct.ct_inv(self.C['ct'], x, *self.ct_split)
+            return ntt_ct.ct_inv(self.C['ct'], x, self.ct_meta)
         return self._ntt_raw(self.C['inv_chunks'], x, self.C['q'],
                              self.C['qinv_f'])
 
@@ -591,6 +589,13 @@ class DeviceContext:
             digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
                                   self.ndigits, C['q_limbs'])
             digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
+            if self.use_ct:
+                # Fast path (round 5): feed the prime-INDEPENDENT digit
+                # values straight into the chirped stage-1 matmul — no
+                # [rows, Lk, phim] int32 residue broadcast, no separate
+                # per-prime Barrett pass (ntt_ct.ct_fwd_digits).
+                return ntt_ct.ct_fwd_digits(K['ct'], digs, self.ct_meta,
+                                            self.digit_bits)
             res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
         else:
             # decompSize >= 4: digits ride 16-bit limb planes; convert

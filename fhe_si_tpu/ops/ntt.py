@@ -260,17 +260,87 @@ def _wide_groups(mat_chunks, x):
             ph[1], ph[2])
 
 
-def horner_combine(groups, q, qinv_f):
+def horner_combine(groups, q, qinv_f, bits: int | None = None):
     """Barrett-Horner combine of the shift groups into residues mod q.
 
     narrow (5 groups, base 2^7): |(r << 7) + c_s| < 2^27 + 2^28 < 2^29.
     wide (7 groups, base 2^6):   |(r << 6) + c_s| < 2^29 + 2^30.2 < 2^31.
-    Both keep the f32 quotient estimate off by < 1."""
-    bits = CHUNK_BITS if len(groups) == 2 * N_CHUNKS - 1 else CHUNK_BITS_W
+    Both keep the f32 quotient estimate off by < 1.  The base is inferred
+    from the group count for the two standard lanes; cross-radix callers
+    (digit_cross_groups) pass `bits` explicitly."""
+    if bits is None:
+        bits = CHUNK_BITS if len(groups) == 2 * N_CHUNKS - 1 else CHUNK_BITS_W
     r = barrett(groups[-1], q, qinv_f)
     for c in groups[-2::-1]:
         r = barrett((r << bits) + c, q, qinv_f)
     return r
+
+
+def chunk_x_n(x, nchunks: int, bits: int):
+    """Balanced base-2^bits split of nonnegative int32 x into nchunks int8
+    planes: x = sum_i d_i << (bits*i), d_i in [-2^(bits-1), 2^(bits-1))
+    for i < nchunks-1, top plane in [0, x_max/2^(bits*(nchunks-1)) + 1].
+    The caller guarantees the top plane fits int8."""
+    half = 1 << (bits - 1)
+    mask = (1 << bits) - 1
+    out = []
+    v = x
+    for _ in range(nchunks - 1):
+        d = ((v + half) & mask) - half
+        out.append(d.astype(jnp.int8))
+        v = (v - d) >> bits
+    out.append(v.astype(jnp.int8))
+    return out
+
+
+def digit_cross_groups(mat_chunks, digits, digit_bits: int):
+    """MXU dots of a table's digit planes against PRIME-INDEPENDENT
+    activation values — the keyswitch digit stage's first transform
+    contact (device._digit_evals fast path).
+
+    digits: int32 [..., n_in] in [0, 2^digit_bits), digit_bits <= 27 —
+    the SAME tensor for every prime, so no [rows, L, phim] residue
+    materialization happens before the matmul; the per-prime reduction
+    rides the Barrett-Horner combine of the OUTPUT (which is per-prime
+    anyway).  The activation is chunked on device into base-2^CHUNK_BITS
+    (narrow table) / 2^CHUNK_BITS_W (wide) balanced int8 planes matching
+    the table's radix, and each (table plane i, activation plane j) pair
+    is one s8xs8 einsum whose (l, o) output dims BOTH come from the
+    table — one [M, K] x [K, L*o] matmul per pair instead of L batched
+    small ones.
+
+    Bounds (contraction length K = n_in <= 2^15):
+      narrow: |tab| <= 64, |act| <= 64 (top act plane for digit_bits=24
+        is bits 21..23 + balance carry <= 9) -> |dot| <= 2^12 * K; the
+        largest group sums min(3, n_act) = 3 dots < 3 * 2^12 * 2^15
+        < 2^29; Horner (r << 7) + c < 2^27 + 2^29 < 2^31.
+      wide:   |tab| <= 34, |act| <= 67 (top plane of a 24-bit value in
+        base 2^6 <= 64 + 3) -> |dot| <= 2278 * K; largest group 4 dots
+        < 2^28.2; Horner (r << 6) + c < 2^29 + 2^28.2 < 2^31.
+
+    Returns the shift-group list (pass to horner_combine with the
+    matching base).
+    """
+    wide = mat_chunks.shape[0] == N_PLANES_W
+    bits = CHUNK_BITS_W if wide else CHUNK_BITS
+    n_tab = N_CHUNKS_W if wide else N_CHUNKS
+    n_act = (digit_bits + bits - 1) // bits
+    assert digit_bits <= 27, "digit value exceeds the int8 top-plane bound"
+    assert digits.shape[-1] <= WIDE_MAX_PHIM, \
+        "digit contraction exceeds the int32 group bound"
+    planes = chunk_x_n(digits, n_act, bits)
+
+    def mm(i, j):
+        return jnp.einsum('lok,...k->...lo', mat_chunks[i], planes[j],
+                          preferred_element_type=jnp.int32)
+
+    groups = [None] * (n_tab + n_act - 1)
+    for i in range(n_tab):
+        for j in range(n_act):
+            d = mm(i, j)
+            s = i + j
+            groups[s] = d if groups[s] is None else groups[s] + d
+    return groups, bits
 
 
 def modmatmul(mat_chunks, x, q, qinv_f):

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import crt, limbs as lb, modular, ntt
+from ..ops import crt, limbs as lb, modular, ntt, ntt_ct
 
 
 def _prune_tables(C):
@@ -33,23 +33,30 @@ def _prune_tables(C):
     sharded pipeline reconstructs via the single-pass path only), the
     keyswitch subset tables (this pipeline keyswitches on the full chain —
     same exact integers, so results stay bit-identical), and the raw iNTT
-    planes (every to_poly here uses the binv-prescaled 'inv_chunks_crt')."""
-    return {k: v for k, v in C.items()
-            if k not in ('garner', 'ksw', 'lin', 'inv_chunks')}
+    planes (every to_poly here uses the binv-prescaled 'inv_chunks_crt';
+    for the CT family the binv rides 't2i_crt' and the raw 't2i' is
+    dropped the same way)."""
+    C = {k: v for k, v in C.items()
+         if k not in ('garner', 'ksw', 'lin', 'inv_chunks')}
+    if 'ct' in C:
+        C['ct'] = {k: v for k, v in C['ct'].items() if k != 't2i'}
+    return C
 
 
-def table_specs(limb: str = 'limb'):
+def table_specs(limb: str = 'limb', use_ct: bool = False):
     """PartitionSpec pytree matching DeviceContext.C minus 'garner'.
 
     Every table with a prime-chain axis is sharded on it; per-limb and
-    scalar constants are replicated.
+    scalar constants are replicated.  The CT pack's stage tables carry
+    the prime axis at position 1 (int8 digit planes [P, L, n, k]) and
+    the twiddles at position 1 of [N1, L, N2] — all per-prime-local, so
+    every CT transform runs with zero communication under 'limb'
+    sharding, exactly like the dense matmul planes.
     """
     L = P(limb)
     L_ = P(limb, None)
-    return dict(
+    spec = dict(
         q=L_, qinv_f=L_, p_mod_q=L_,
-        fwd_chunks=P(None, limb, None, None),
-        inv_chunks_crt=P(None, limb, None, None),
         fast_crt=dict(
             binv=L, Bmodr=L, B=L_, Bh=L_, er_mask=L,
             B_chunks=P(None, limb, None),
@@ -65,6 +72,15 @@ def table_specs(limb: str = 'limb'):
         q_over_p_sh20=P(None),
         p_limbs=P(None),
     )
+    if use_ct:
+        pl = P(None, limb, None, None)
+        spec['ct'] = dict(q=L_, qinv_f=L_,
+                          t1=pl, t2=pl, t1i=pl, t2i_crt=pl,
+                          tw=P(None, limb, None), twi=P(None, limb, None))
+    else:
+        spec['fwd_chunks'] = P(None, limb, None, None)
+        spec['inv_chunks_crt'] = P(None, limb, None, None)
+    return spec
 
 
 class ShardedPipelines:
@@ -80,26 +96,36 @@ class ShardedPipelines:
                 f"num_primes={dev.L} does not shard over {limb}="
                 f"{mesh.shape[limb]}; build the context with "
                 f"num_primes_multiple={mesh.shape[limb]}")
-        if dev.use_ct:
-            raise NotImplementedError(
-                "ShardedPipelines shards the dense-table family; "
-                "power-of-two-m contexts shard their CT-NTT stages over "
-                "'coeff' (ct_coeff_sharded_ntt)")
         self.dev = dev
         self.mesh = mesh
         self.dp = dp
         self.limb = limb
         self.C = _prune_tables(dev.C)
-        self.Cspec = table_specs(limb)
+        self.Cspec = table_specs(limb, dev.use_ct)
 
     # ---------------------------------------------------- shard-local pieces
+    def _fwd_local(self, Cl, res):
+        """Per-prime-local forward transform on this shard's prime rows:
+        dense matmul planes or the CT factorization (both families are
+        embarrassingly parallel over the chain axis)."""
+        if self.dev.use_ct:
+            return ntt_ct.ct_fwd(Cl['ct'], res, self.dev.ct_meta)
+        return ntt.modmatmul(Cl['fwd_chunks'], res, Cl['q'], Cl['qinv_f'])
+
+    def _inv_crt_local(self, Cl, evals):
+        if self.dev.use_ct:
+            return ntt_ct.ct_inv(Cl['ct'], evals, self.dev.ct_meta,
+                                 t2i_key='t2i_crt')
+        return ntt.modmatmul(Cl['inv_chunks_crt'], evals, Cl['q'],
+                             Cl['qinv_f'])
+
     def _to_poly_psum(self, Cl, evals):
         """Local iNTT + CRT partials, one psum over 'limb', replicated
         tail.  Both partials variants are exact for the FULL chain
         contraction, so the psum of shard-local partials cannot
         overflow; the path choice follows crt.USE_MXU_PARTIALS."""
         wide = self.dev.wide
-        res = ntt.modmatmul(Cl['inv_chunks_crt'], evals, Cl['q'], Cl['qinv_f'])
+        res = self._inv_crt_local(Cl, evals)
         if crt.USE_MXU_PARTIALS and not wide:
             acc, sig, er = crt.crt_partials_mxu(res, Cl['fast_crt'], Cl['q'],
                                                 Cl['qinv_f'])
@@ -132,7 +158,7 @@ class ShardedPipelines:
         res = crt.limbs_to_residues(poly_limbs, Cl['chunk_tbl'],
                                     wrap, Cl['q'], Cl['qinv_f'],
                                     self.dev.wide)
-        return ntt.modmatmul(Cl['fwd_chunks'], res, Cl['q'], Cl['qinv_f'])
+        return self._fwd_local(Cl, res)
 
     def _mul_relin_local(self, Cl, a_parts, b_parts, matrix_local):
         dev = self.dev
@@ -164,8 +190,13 @@ class ShardedPipelines:
         digs = lb.byte_decomp(parts, dev.log_q, dev.digit_bits, dev.ndigits,
                               Cl['q_limbs'])
         digs = jnp.moveaxis(digs, -1, 1).reshape(-1, dev.phim)
-        dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
-        d_ev = ntt.modmatmul(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
+        if dev.use_ct:
+            d_ev = ntt_ct.ct_fwd_digits(Cl['ct'], digs, dev.ct_meta,
+                                        dev.digit_bits)
+        else:
+            dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
+            d_ev = ntt.modmatmul(Cl['fwd_chunks'], dres, Cl['q'],
+                                 Cl['qinv_f'])
 
         acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
                               axis=1, wide=wide)
@@ -218,6 +249,99 @@ class ShardedPipelines:
         return lambda a, b, matrix: jitted(self.C, a, b, matrix)
 
 
+# -------------------------------------------------- sharded CT transforms
+# The two-level Cooley-Tukey factorization with the phi(m) axis sharded
+# over a mesh axis (m = 2^k: phim = N and no excluded rows, so every
+# reshape is block-local).  Each matmul stage computes its Karatsuba
+# shift groups on the locally-owned slice of the contraction axis and
+# ONE psum per stage delivers the full groups (linear in x, bounds hold
+# for the full contraction — ops/ntt.karatsuba_groups); the twiddle and
+# Barrett-Horner run replicated and each shard keeps its contiguous
+# output block.  2 psums per transform.  Forward input blocks are
+# c2-slices (c = c1 + N1*c2, c1 fast), outputs j1-slices (u = j2 +
+# N2*j1, j2 fast) — so S must divide both N1 and N2.
+
+def _ct_groups_psum(chunks_local, x_local, q, qinv_f, axis):
+    g = ntt.karatsuba_groups(chunks_local, x_local)
+    g = jax.lax.psum(g, axis)
+    return ntt.horner_combine(g, q, qinv_f)
+
+
+def ct_sharded_fwd_local(Tl, x_loc, meta, S: int, axis: str):
+    """[..., L, N/S] residues (c2-slice) -> [..., L, N/S] evals
+    (j1-slice).  Call inside shard_map; Tl's stage tables are sliced on
+    their contraction axis."""
+    N1, N2 = meta.N1, meta.N2
+    q, qi = Tl['q'], Tl['qinv_f']
+    w = Tl['t1'].shape[0] == ntt.N_PLANES_W
+    i = jax.lax.axis_index(axis)
+    *lead, L, Nl = x_loc.shape
+    y = x_loc.reshape(*lead, L, N2 // S, N1)     # local c2 rows, c1 fast
+    y = jnp.moveaxis(y, -1, -3)                  # [.., c1, L, c2_loc]
+    z = _ct_groups_psum(Tl['t2'], y, q, qi, axis)    # -> [.., c1, L, N2]
+    return _ct_sharded_fwd_tail(Tl, z, meta, S, axis, i, w)
+
+
+def ct_sharded_fwd_digits_local(Tl, d_loc, meta, S: int, axis: str,
+                                digit_bits: int):
+    """Sharded ct_fwd_digits: PRIME-INDEPENDENT digit values [..., N/S]
+    (c2-slice) -> [..., L, N/S] evals (j1-slice).  Stage 1 contracts the
+    local c2 slice of the raw digits (ops/ntt.digit_cross_groups — the
+    groups are linear, so the psum of local groups is the full
+    contraction, still int32-exact by the module-header bounds)."""
+    N1, N2 = meta.N1, meta.N2
+    q, qi = Tl['q'], Tl['qinv_f']
+    w = Tl['t1'].shape[0] == ntt.N_PLANES_W
+    i = jax.lax.axis_index(axis)
+    *lead, Nl = d_loc.shape
+    d = d_loc.reshape(*lead, N2 // S, N1)        # [.., c2_loc, c1]
+    d = jnp.swapaxes(d, -1, -2)                  # [.., c1, c2_loc]
+    groups, bits = ntt.digit_cross_groups(Tl['t2'], d, digit_bits)
+    groups = jax.lax.psum(groups, axis)
+    z = ntt.horner_combine(groups, q, qi, bits)  # [.., c1, L, N2]
+    return _ct_sharded_fwd_tail(Tl, z, meta, S, axis, i, w)
+
+
+def _ct_sharded_fwd_tail(Tl, z, meta, S, axis, i, w):
+    N1, N2 = meta.N1, meta.N2
+    q, qi = Tl['q'], Tl['qinv_f']
+    z = modular.mod_mul(z, Tl['tw'], q, qi, w)   # replicated twiddle
+    z = jax.lax.dynamic_slice_in_dim(z, i * (N1 // S), N1 // S, axis=-3)
+    z = jnp.swapaxes(z, -1, -3)                  # [.., N2, L, c1_loc]
+    out = _ct_groups_psum(Tl['t1'], z, q, qi, axis)  # -> [.., j2, L, N1]
+    out = jnp.swapaxes(out, -1, -3)              # [.., j1, L, j2]
+    *lead, n1, L, n2 = out.shape
+    out = jnp.moveaxis(out, -3, -2).reshape(*lead, L, n1 * n2)
+    # keep this shard's contiguous j-block (j1-slice, all j2)
+    return jax.lax.dynamic_slice_in_dim(out, i * (N1 // S) * N2,
+                                        (N1 // S) * N2, axis=-1)
+
+
+def ct_sharded_inv_local(Tl, e_loc, meta, S: int, axis: str,
+                         t2i_key: str = 't2i'):
+    """[..., L, N/S] evals (j1-slice) -> [..., L, N/S] coefficients
+    (c2-slice).  t2i_key='t2i_crt' folds the CRT binv (device pack)."""
+    N1, N2 = meta.N1, meta.N2
+    q, qi = Tl['q'], Tl['qinv_f']
+    w = Tl['t1i'].shape[0] == ntt.N_PLANES_W
+    i = jax.lax.axis_index(axis)
+    *lead, L, Nl = e_loc.shape                   # j1-slice: j2 fast
+    y = e_loc.reshape(*lead, L, N1 // S, N2)
+    y = jnp.moveaxis(y, -2, -3)                  # [.., j1_loc, L, j2]
+    y = jnp.swapaxes(y, -1, -3)                  # [.., j2, L, j1_loc]
+    z = _ct_groups_psum(Tl['t1i'], y, q, qi, axis)   # -> [.., j2, L, N1]
+    z = jnp.swapaxes(z, -1, -3)                  # [.., c1, L, j2]
+    z = modular.mod_mul(z, Tl['twi'], q, qi, w)
+    z = jax.lax.dynamic_slice_in_dim(z, i * (N2 // S), N2 // S, axis=-1)
+    out = _ct_groups_psum(Tl[t2i_key], z, q, qi, axis)  # -> [.., c1, L, N2]
+    z = jnp.moveaxis(out, -3, -1)                # [.., L, c2, c1]
+    *lead, L, n2, n1 = z.shape
+    z = z.reshape(*lead, L, n2 * n1)             # c = c1 + N1*c2
+    # keep this shard's contiguous c-block (c2-slice, all c1)
+    return jax.lax.dynamic_slice_in_dim(z, i * (N2 // S) * N1,
+                                        (N2 // S) * N1, axis=-1)
+
+
 class CoeffShardedPipelines:
     """The FULL mul+relin pipeline with the phi(m) axis sharded over
     'coeff' (SURVEY §2 axis 2 — the sequence-parallel analog), optionally
@@ -243,10 +367,18 @@ class CoeffShardedPipelines:
                 f"phim={dev.phim} does not shard over {coeff}="
                 f"{mesh.shape[coeff]}")
         if dev.use_ct:
-            raise NotImplementedError(
-                "CoeffShardedPipelines shards the dense DFT matmuls; "
-                "power-of-two-m contexts shard their CT stages with "
-                "ct_coeff_sharded_ntt")
+            if dev.ct_meta.q_odd != 1:
+                raise NotImplementedError(
+                    "coeff-sharded CT pipeline covers m = 2^k (the "
+                    "excluded-row drop of mixed-radix m is not "
+                    "block-local); mixed-radix contexts shard over 'limb' "
+                    "(ShardedPipelines)")
+            S = mesh.shape[coeff]
+            N1, N2 = dev.ct_split
+            if N1 % S or N2 % S:
+                raise ValueError(
+                    f"coeff shards {S} must divide both CT factors "
+                    f"{N1}x{N2}")
         self.dev = dev
         self.mesh = mesh
         self.dp = dp if dp in mesh.shape else None
@@ -257,7 +389,6 @@ class CoeffShardedPipelines:
         rep = P()
         self.Cspec = dict(
             q=P(None, None), qinv_f=P(None, None), p_mod_q=P(None, None),
-            fwd_chunks=cs, inv_chunks_crt=cs,
             fast_crt=dict(
                 binv=P(None), Bmodr=P(None), B=P(None, None),
                 Bh=P(None, None), er_mask=P(None),
@@ -269,6 +400,16 @@ class CoeffShardedPipelines:
             q_limbs=P(None), q_over_p=P(None), q_over_p_sh10=P(None),
             q_over_p_sh20=P(None), p_limbs=P(None),
         )
+        if dev.use_ct:
+            # every CT stage table is sliced on its CONTRACTION axis
+            # (the last one); twiddles and per-prime constants replicate
+            self.Cspec['ct'] = dict(
+                q=P(None, None), qinv_f=P(None, None),
+                t1=cs, t2=cs, t1i=cs, t2i_crt=cs,
+                tw=P(None, None, None), twi=P(None, None, None))
+        else:
+            self.Cspec['fwd_chunks'] = cs
+            self.Cspec['inv_chunks_crt'] = cs
 
     def _ntt_coeff(self, chunks_local, x_local, q, qinv_f):
         """x sharded on its last (n_in) axis -> output sharded the same
@@ -284,17 +425,29 @@ class CoeffShardedPipelines:
         dev = self.dev
         wide = dev.wide
         fc = Cl['fast_crt']
+        use_ct = dev.use_ct
+
+        def fwd(res):
+            if use_ct:
+                return ct_sharded_fwd_local(Cl['ct'], res, dev.ct_meta,
+                                            self.S, self.coeff)
+            return self._ntt_coeff(Cl['fwd_chunks'], res, Cl['q'],
+                                   Cl['qinv_f'])
 
         def from_poly(parts):       # [k, phim_loc, n_ct] -> [k, L, phim_loc]
             res = crt.limbs_to_residues(parts, Cl['chunk_tbl'],
                                         Cl['wrap_ct'], Cl['q'], Cl['qinv_f'],
                                         wide)
-            return self._ntt_coeff(Cl['fwd_chunks'], res, Cl['q'],
-                                   Cl['qinv_f'])
+            return fwd(res)
 
         def to_poly(evals):         # [k, L, phim_loc] -> [k, phim_loc, n]
-            res = self._ntt_coeff(Cl['inv_chunks_crt'], evals, Cl['q'],
-                                  Cl['qinv_f'])
+            if use_ct:
+                res = ct_sharded_inv_local(Cl['ct'], evals, dev.ct_meta,
+                                           self.S, self.coeff,
+                                           t2i_key='t2i_crt')
+            else:
+                res = self._ntt_coeff(Cl['inv_chunks_crt'], evals, Cl['q'],
+                                      Cl['qinv_f'])
             if crt.USE_MXU_PARTIALS and not wide:
                 acc, sig, er = crt.crt_partials_mxu(res, fc, Cl['q'],
                                                     Cl['qinv_f'])
@@ -329,8 +482,14 @@ class CoeffShardedPipelines:
         digs = lb.byte_decomp(parts, dev.log_q, dev.digit_bits, dev.ndigits,
                               Cl['q_limbs'])
         digs = jnp.moveaxis(digs, -1, 1).reshape(-1, phim_loc)
-        dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
-        d_ev = self._ntt_coeff(Cl['fwd_chunks'], dres, Cl['q'], Cl['qinv_f'])
+        if use_ct:
+            d_ev = ct_sharded_fwd_digits_local(Cl['ct'], digs, dev.ct_meta,
+                                               self.S, self.coeff,
+                                               dev.digit_bits)
+        else:
+            dres = modular.barrett(digs[:, None, :], Cl['q'], Cl['qinv_f'])
+            d_ev = self._ntt_coeff(Cl['fwd_chunks'], dres, Cl['q'],
+                                   Cl['qinv_f'])
 
         acc = modular.mod_dot(matrix_local, d_ev[None], Cl['q'], Cl['qinv_f'],
                               axis=1, wide=wide)
@@ -389,68 +548,31 @@ def ct_coeff_sharded_ntt(dev, mesh: Mesh, forward: bool = True):
     The inverse runs the mirror image.  Bit-identical to the unsharded
     dev.ntt_fwd/ntt_inv (tests/test_sharding.py).
     """
-    assert dev.use_ct, "ct_coeff_sharded_ntt needs a power-of-two-m context"
+    assert dev.use_ct, "ct_coeff_sharded_ntt needs a CT-family context"
+    assert dev.ct_meta.q_odd == 1, \
+        "coeff-sharded CT transform covers m = 2^k (the excluded-row " \
+        "drop of mixed-radix m is not block-local)"
     N1, N2 = dev.ct_split
     S = mesh.shape['coeff']
     assert N1 % S == 0 and N2 % S == 0, \
         f"coeff shards {S} must divide both CT factors {N1}x{N2}"
     T = dev.C['ct']
-    w = T['t1'].shape[0] == ntt.N_PLANES_W
-
-    def groups_psum(chunks_local, x_local, q, qinv_f):
-        g = ntt.karatsuba_groups(chunks_local, x_local)
-        g = jax.lax.psum(g, 'coeff')
-        return ntt.horner_combine(g, q, qinv_f)
+    meta = dev.ct_meta
 
     def fwd(Tl, x_loc):
-        q, qi = Tl['q'], Tl['qinv_f']
-        i = jax.lax.axis_index('coeff')
-        y = modular.mod_mul(x_loc, Tl['chirp'], q, qi, w)  # chirp sharded
-        *lead, L, Nl = y.shape
-        y = y.reshape(*lead, L, N2 // S, N1)     # local c2 rows, c1 fast
-        y = jnp.moveaxis(y, -1, -3)              # [.., c1, L, c2_loc]
-        z = groups_psum(Tl['t2'], y, q, qi)      # psum #1 -> [.., c1, L, N2]
-        z = modular.mod_mul(z, Tl['tw'], q, qi, w)   # replicated twiddle
-        z = jax.lax.dynamic_slice_in_dim(z, i * (N1 // S), N1 // S, axis=-3)
-        z = jnp.swapaxes(z, -1, -3)              # [.., N2, L, c1_loc]
-        out = groups_psum(Tl['t1'], z, q, qi)    # psum #2 -> [.., j2, L, N1]
-        out = jnp.swapaxes(out, -1, -3)          # [.., j1, L, j2]
-        *lead, n1, L, n2 = out.shape
-        out = jnp.moveaxis(out, -3, -2).reshape(*lead, L, n1 * n2)
-        # keep this shard's contiguous j-block (j1-slice, all j2)
-        return jax.lax.dynamic_slice_in_dim(out, i * (N1 // S) * N2,
-                                            (N1 // S) * N2, axis=-1)
+        return ct_sharded_fwd_local(Tl, x_loc, meta, S, 'coeff')
 
     def inv(Tl, e_loc):
-        q, qi = Tl['q'], Tl['qinv_f']
-        i = jax.lax.axis_index('coeff')
-        *lead, L, Nl = e_loc.shape               # j1-slice: j2 fast
-        y = e_loc.reshape(*lead, L, N1 // S, N2)
-        y = jnp.moveaxis(y, -2, -3)              # [.., j1_loc, L, j2]
-        y = jnp.swapaxes(y, -1, -3)              # [.., j2, L, j1_loc]
-        z = groups_psum(Tl['t1i'], y, q, qi)     # psum #1 -> [.., j2, L, N1]
-        z = jnp.swapaxes(z, -1, -3)              # [.., c1, L, j2]
-        z = modular.mod_mul(z, Tl['twi'], q, qi, w)
-        z = jax.lax.dynamic_slice_in_dim(z, i * (N2 // S), N2 // S, axis=-1)
-        out = groups_psum(Tl['t2i'], z, q, qi)   # psum #2 -> [.., c1, L, N2]
-        z = jnp.moveaxis(out, -3, -1)            # [.., L, c2, c1]
-        *lead, L, n2, n1 = z.shape
-        z = z.reshape(*lead, L, n2 * n1)         # c = c1 + N1*c2
-        z = modular.mod_mul(z, Tl['chirp_inv'], q, qi, w)
-        # keep this shard's contiguous c-block (c2-slice, all c1)
-        return jax.lax.dynamic_slice_in_dim(z, i * (N2 // S) * N1,
-                                            (N2 // S) * N1, axis=-1)
+        return ct_sharded_inv_local(Tl, e_loc, meta, S, 'coeff')
 
     cs = P(None, None, None, 'coeff')            # chunk planes: contraction
+    rep4 = P(None, None, None, None)
     Tspec = dict(q=P(None, None), qinv_f=P(None, None),
-                 t1=cs if forward else P(None, None, None, None),
-                 t2=cs if forward else P(None, None, None, None),
-                 t1i=P(None, None, None, None) if forward else cs,
-                 t2i=P(None, None, None, None) if forward else cs,
-                 tw=P(None, None, None), twi=P(None, None, None),
-                 chirp=P(None, 'coeff') if forward else P(None, None),
-                 chirp_inv=P(None, None),
-                 chirp_inv_crt=P(None, None))
+                 t1=cs if forward else rep4,
+                 t2=cs if forward else rep4,
+                 t1i=rep4 if forward else cs,
+                 t2i=rep4 if forward else cs,
+                 tw=P(None, None, None), twi=P(None, None, None))
     Tuse = {k: T[k] for k in Tspec}
     step = fwd if forward else inv
     sm = jax.shard_map(

@@ -82,8 +82,18 @@ class FheSecretKey:
     def decrypt(self, ct: "Ciphertext") -> Plaintext:
         dev = device_context(self.ctx)
         ct = ct.relinearized_view()
-        k = min(self.sk_evals.shape[0], ct.parts.shape[0])
-        msg = dev.decrypt_op(ct.parts[:k], self.sk_evals[:k])
+        k = ct.parts.shape[0]
+        if k > self.sk_evals.shape[0]:
+            # The reference dots every ciphertext part against the tensored
+            # key list (FHE-SI.cpp:96-103); this key holds only
+            # sk_evals.shape[0] powers, so a longer ciphertext (e.g. a
+            # ScaleDown'd unrelinearized product) cannot be decrypted here —
+            # truncating would silently return garbage.
+            raise ValueError(
+                f"ciphertext has {k} parts but the secret key holds only "
+                f"{self.sk_evals.shape[0]} key powers; relinearize first "
+                "(FHE-SI.cpp:96-103 semantics)")
+        msg = dev.decrypt_op(ct.parts, self.sk_evals[:k])
         return Plaintext(self.ctx, np.asarray(msg))
 
     def decrypt_batch(self, cts: list["Ciphertext"]) -> list[Plaintext]:
@@ -99,7 +109,14 @@ class FheSecretKey:
         round-3 statistics log)."""
         from .ops import limbs as lb
         dev = device_context(self.ctx)
-        ps = [ct.relinearized_view().parts[:2] for ct in cts]
+        views = [ct.relinearized_view() for ct in cts]
+        for v in views:
+            if v.parts.shape[0] > self.sk_evals.shape[0]:
+                raise ValueError(
+                    f"ciphertext has {v.parts.shape[0]} parts but the secret "
+                    f"key holds only {self.sk_evals.shape[0]} key powers; "
+                    "relinearize first (FHE-SI.cpp:96-103 semantics)")
+        ps = [v.parts[:2] for v in views]
         n_ct = self.ctx.n_limbs_ct
         by_width: dict[int, list[int]] = {}
         for i, p in enumerate(ps):

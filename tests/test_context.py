@@ -103,3 +103,26 @@ def test_noncyclic_group_slot_cycles():
     rot = ctx.rotate_slots(vals, 1)
     assert np.array_equal(rot[:6], np.roll(vals[:6], -1))
     assert np.array_equal(rot[6:], np.roll(vals[6:], -1))
+
+
+def test_reduction_growth_closed_form():
+    """The mixed-radix closed form (G=3, H=1, RM=q-1 for m = 2^a*q^b,
+    context.reduction_growth) must equal the exact generic row sweep.
+    The sweep path is forced by phim <= 512; the closed form is computed
+    here by the same formula the large-ring branch returns."""
+    from fhe_si_tpu.hostmath import numbth
+
+    for m in (40, 96, 160, 54, 250, 486):     # 2^3*5, 2^5*3, 2^5*5, 2*27,
+        phim = numbth.euler_phi(m)            # 2*125, 2*243
+        odd = m
+        while odd % 2 == 0:
+            odd //= 2
+        q = min(set(numbth.factorize(odd)))
+        # the generic sweep is exact; run it on a minimal stub (a full
+        # context would take the closed-form branch only at phim > 512)
+        import types
+        stub = types.SimpleNamespace(m=m, phim=phim,
+                                     phim_x=numbth.cyclotomic(m))
+        sweep = FheContext.reduction_growth.func(stub)
+        if (q - 2) * (m // (2 * q)) >= 2:
+            assert sweep == dict(G=3, H=1, RM=q - 1), (m, sweep)

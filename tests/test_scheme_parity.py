@@ -180,3 +180,19 @@ def test_part_limb_widths(setup):
     singles = [kd[0].decrypt(c_d).message, kd[0].decrypt(rot_d).message]
     batch = kd[0].decrypt_batch([c_d, rot_d])
     assert [list(b.message) for b in batch] == [list(s) for s in singles]
+
+
+def test_decrypt_rejects_excess_parts(setup):
+    """A 3-part ciphertext (ScaleDown'd unrelinearized product) against a
+    2-power secret key must raise, not silently truncate: the reference
+    dots EVERY part against the tensored key list (FHE-SI.cpp:96-103)."""
+    ctx, srcs, kd, ko = setup
+    m1 = srcs[0].uniform_mod_p(ctx.phim, ctx.p)
+    srcs[1].uniform_mod_p(ctx.phim, ctx.p)
+    c_d, _ = _encrypt_pair(ctx, srcs, kd, ko, m1)
+    prod = (c_d * c_d).relinearized_view()       # 3 parts, no relin
+    assert prod.parts.shape[0] == 3
+    with pytest.raises(ValueError, match="relinearize first"):
+        kd[0].decrypt(prod)
+    with pytest.raises(ValueError, match="relinearize first"):
+        kd[0].decrypt_batch([prod])

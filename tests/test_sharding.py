@@ -175,3 +175,71 @@ def test_coeff_sharded_ntt_bit_exact(setup):
                 None, None, 'coeff')))
         got = np.asarray(coeff_sharded_ntt(dev, m, forward)(x_sh))
         assert np.array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def ct_setup():
+    """Power-of-two-m (CT transform family) context + keys for the
+    sharded full-pipeline tests — the round-4 verdict's item 2: the
+    scaling family must shard, not just the dense toy."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    ctx = FheContext(m=256, log_q=80, p=257, generator=3,
+                     num_primes_multiple=2)
+    dev = device_context(ctx)
+    assert dev.use_ct
+    src = sampling.RandomSource(21)
+    sk, pk = scheme.keygen(ctx, src)
+    ksw = scheme.KeySwitch.for_relinearization(sk, src)
+    cts = [pk.encrypt(scheme.Plaintext(ctx, src.uniform_mod_p(ctx.phim, ctx.p)),
+                      src) for _ in range(8)]
+    return ctx, dev, sk, ksw, cts
+
+
+def test_ct_limb_sharded_pipeline_bit_exact(ct_setup):
+    """CT-family FULL mul+relin with the CRT prime axis sharded over
+    'limb' (dp=4 x limb=2): every transform is per-prime local, the only
+    collectives are the CRT-partial psums — bit-identical to the
+    single-device batched op."""
+    from fhe_si_tpu.parallel.shard import ShardedPipelines
+    from jax.sharding import Mesh
+
+    ctx, dev, sk, ksw, cts = ct_setup
+    a = jnp.stack([c.parts for c in cts[:4]])
+    b = jnp.stack([c.parts for c in cts[4:]])
+    want = np.asarray(dev.batched_mul_relin_op(a, b, ksw.matrix_evals))
+
+    m = pmesh.make_mesh(n_dp=4, n_limb=2)
+    sp = ShardedPipelines(dev, m)
+    fn = sp.batched_mul_relin()
+    a_sh = pmesh.shard_batched_parts(m, a)
+    b_sh = pmesh.shard_batched_parts(m, b)
+    mat_sh = jax.device_put(ksw.matrix_evals, pmesh.limb_sharding(m, 2, 4))
+    got = np.asarray(fn(a_sh, b_sh, mat_sh))
+    assert np.array_equal(got, want)
+
+
+def test_ct_coeff_sharded_pipeline_bit_exact(ct_setup):
+    """CT-family FULL mul+relin with phi(m) sharded over 'coeff'
+    (dp=2 x coeff=4): stage-wise group psums inside every transform
+    (2/transform), everything else per-coefficient local — bit-identical
+    to the single-device batched op.  This is the regime that matters:
+    only the CT family reaches the phim where sequence-splitting pays."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from fhe_si_tpu.parallel.shard import CoeffShardedPipelines
+
+    ctx, dev, sk, ksw, cts = ct_setup
+    a = jnp.stack([c.parts for c in cts[:2]])
+    b = jnp.stack([c.parts for c in cts[2:4]])
+    want = np.asarray(dev.batched_mul_relin_op(a, b, ksw.matrix_evals))
+
+    m = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ('dp', 'coeff'))
+    cp = CoeffShardedPipelines(dev, m)
+    fn = cp.batched_mul_relin()
+    sh = NamedSharding(m, P('dp', None, 'coeff', None))
+    a_sh = jax.device_put(a, sh)
+    b_sh = jax.device_put(b, sh)
+    mat_sh = jax.device_put(ksw.matrix_evals,
+                            NamedSharding(m, P(None, None, None, 'coeff')))
+    got = np.asarray(fn(a_sh, b_sh, mat_sh))
+    assert np.array_equal(got, want)

@@ -43,8 +43,8 @@ def main():
 
     def run(T, x0):
         def body(cur, _):
-            y = ntt_ct.ct_inv(T, ntt_ct.ct_fwd(T, cur, tab.N1, tab.N2),
-                              tab.N1, tab.N2)
+            y = ntt_ct.ct_inv(T, ntt_ct.ct_fwd(T, cur, tab.meta),
+                              tab.meta)
             return y, ()
         y, _ = jax.lax.scan(body, x0, None, length=steps)
         return jnp.sum(y)
@@ -61,7 +61,7 @@ def main():
     per_rt = best / steps
     n_tr = batch * L * 2  # fwd+inv per prime per batch row
     tbl_mb = (tab.t1_chunks.nbytes + tab.t2_chunks.nbytes + tab.tw.nbytes
-              + tab.chirp.nbytes * 2 + tab.twi.nbytes
+              + tab.tw.nbytes + tab.twi.nbytes
               + tab.t1i_chunks.nbytes + tab.t2i_chunks.nbytes) / 1e6
     print(f"CT-NTT phim={N} L={L} batch={batch}: {per_rt*1e3:.2f} ms/roundtrip"
           f" ({n_tr/per_rt:,.0f} transforms/s); tables {tbl_mb:.1f} MB total"

@@ -65,10 +65,10 @@ def main():
     q, qf = T['q'], T['qinv_f']
     w = ctx.wide
 
-    chain(lambda c: ntt_ct.ct_fwd(T, c, N1, N2), x, "ct_fwd (full)")
-    chain(lambda c: ntt_ct.ct_inv(T, ntt_ct.ct_fwd(T, c, N1, N2), N1, N2),
+    meta = dev.ct_meta
+    chain(lambda c: ntt_ct.ct_fwd(T, c, meta), x, "ct_fwd (full)")
+    chain(lambda c: ntt_ct.ct_inv(T, ntt_ct.ct_fwd(T, c, meta), meta),
           x, "ct_fwd + ct_inv roundtrip")
-    chain(lambda c: mod_mul(c, T['chirp'], q, qf, w), x, "chirp mod_mul")
     chain(lambda c: ntt.modmatmul(T['t2'], c, q, qf), xs,
           "stage matmul (t2, split layout)")
     chain(lambda c: mod_mul(c, T['tw'], q, qf, w), xs, "twiddle mod_mul")
@@ -172,6 +172,13 @@ def main():
                                  size=(12, Lk, ctx.phim)), jnp.int32)[None],
         (B, 12, Lk, ctx.phim))
     vchain(lambda d_: dev._fwd_t(K, d_), dsub, "subset ct_fwd on digit shape")
+
+    draw = jnp.broadcast_to(
+        jnp.asarray(rng.integers(0, 1 << 24, size=(12, ctx.phim)),
+                    jnp.int32)[None], (B, 12, ctx.phim))
+    vchain(lambda d_: ntt_ct.ct_fwd_digits(K['ct'], d_, dev.ct_meta,
+                                           dev.digit_bits),
+           draw, "ct_fwd_digits (fast digit path)")
 
     from fhe_si_tpu.ops.modular import mod_dot
     rows = mat.shape[1]
