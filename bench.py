@@ -57,14 +57,13 @@ def _chain_rate(dev, matrix, a, steps, reps=3):
     batch = a.shape[0]
 
     def chain(C, x, matrix):
-        one = jax.vmap(dev._mul_relin, in_axes=(None, 0, 0, None))
-
         def body(cur, _):
             # rolling the limb tensor along phim gives a DISTINCT second
             # multiplicand (a valid ciphertext of a rotated polynomial),
-            # so the two operand lifts cannot be CSE'd into one
+            # so the two operand lifts cannot be CSE'd into one.
+            # _mul_relin is rank-generic (native batch axis, no vmap).
             other = jnp.roll(cur, 1, axis=-2)
-            return one(C, cur, other, matrix), ()
+            return dev._mul_relin(C, cur, other, matrix), ()
 
         y, _ = jax.lax.scan(body, x, None, length=steps)
         return jnp.sum(y)

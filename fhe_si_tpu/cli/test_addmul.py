@@ -1,6 +1,11 @@
 """CLI mirror of the reference Test_AddMul_x (Test_AddMul.cpp:115-171).
 
-usage: python -m fhe_si_tpu.cli.test_addmul logQ p generator [seed] [--trials N]
+usage: python -m fhe_si_tpu.cli.test_addmul logQ p generator [seed]
+           [--trials N] [--m M]
+
+--m M overrides the ring index (default m = p-1, the reference's only
+mode); e.g. a power-of-two m exercises the Cooley-Tukey scaling family
+under the same 5000-trial randomized contract.
 
 Without a seed: runs N random trials (default 100; the reference runs 5000
 single-threaded — use --trials 5000 for the full sweep) and exits with the
@@ -72,12 +77,13 @@ def main(argv):
     import argparse
     ap = argparse.ArgumentParser(
         prog="test_addmul",
-        usage="test_addmul logQ p generator [seed] [--trials N]")
+        usage="test_addmul logQ p generator [seed] [--trials N] [--m M]")
     ap.add_argument("logQ", type=int)
     ap.add_argument("p", type=int)
     ap.add_argument("generator", type=int)
     ap.add_argument("seed", type=int, nargs="?", default=None)
     ap.add_argument("--trials", type=int, default=100)
+    ap.add_argument("--m", type=int, default=None)
     try:
         ns = ap.parse_args(argv[1:])
     except SystemExit:
@@ -87,7 +93,8 @@ def main(argv):
     print("=" * 50)
     print("Running add/multiply tests using Brakerski system.")
     print("=" * 50)
-    ctx = FheContext(m=p - 1, log_q=log_q, p=p, generator=g)
+    ctx = FheContext(m=ns.m if ns.m else p - 1, log_q=log_q, p=p,
+                     generator=g)
     print("Finished setting up context.")
 
     key_src = sampling.RandomSource(0xF9E51)

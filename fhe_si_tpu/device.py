@@ -36,6 +36,7 @@ import numpy as np
 
 from .context import FheContext, int_to_limbs
 from .ops import crt, limbs as lb, modular, ntt, ntt_ct
+from .ops import ntt_ct_pallas
 
 
 def _enable_persistent_compile_cache():
@@ -74,6 +75,7 @@ class DeviceContext:
         # dense O(L*phim^2) DFT matrices — the only family that scales
         # past phim ~ 4k (ops/ntt_ct.py)
         self.use_ct = ctx.use_ct
+        self.ct_pallas = False      # set after the CT tables are built
 
         gt = ctx.garner_tables
         ft = ctx.fast_crt_tables
@@ -109,6 +111,18 @@ class DeviceContext:
             self.ct_meta = ctt.meta
             ct_full = ctt.pack()
             fwd_chunks_dev = inv_chunks_dev = None
+            # Fused Pallas CT kernels (ops/ntt_ct_pallas.py): the
+            # two-stage factorization is bandwidth-bound under XLA (6
+            # Karatsuba group tensors per stage hit HBM); the fused
+            # kernel keeps them in VMEM.  TPU-only (the CPU test suite
+            # rides the XLA path, which is bit-identical —
+            # tests/test_ntt_ct_pallas.py); opt out with
+            # FHE_SI_TPU_NO_PALLAS=1.
+            import os
+            self.ct_pallas = (
+                os.environ.get("FHE_SI_TPU_NO_PALLAS", "0") != "1"
+                and ntt_ct_pallas.supported(ctt.meta, ctx.wide)
+                and jax.devices()[0].platform not in ("cpu",))
         else:
             fwd, inv = ctx.ntt_tables
             fwd_chunks_dev = jnp.asarray(ntt.chunk_matrix(fwd, ctx.wide))
@@ -313,6 +327,8 @@ class DeviceContext:
         matmul or the two-level Cooley-Tukey factorization — selected by
         the table family (static per context)."""
         if 'ct' in T:
+            if self.ct_pallas:
+                return ntt_ct_pallas.ct_fwd(T['ct'], x, self.ct_meta)
             return ntt_ct.ct_fwd(T['ct'], x, self.ct_meta)
         return self._ntt_raw(T['fwd_chunks'], x, T['q'], T['qinv_f'])
 
@@ -320,6 +336,9 @@ class DeviceContext:
         """Inverse transform with the basis binv prescaled in (feeds the
         single-pass CRT reconstruction with prescaled=True)."""
         if 'ct' in T:
+            if self.ct_pallas:
+                return ntt_ct_pallas.ct_inv(T['ct'], x, self.ct_meta,
+                                            t2i_key='t2i_crt')
             return ntt_ct.ct_inv(T['ct'], x, self.ct_meta,
                                  t2i_key='t2i_crt')
         return self._ntt_raw(T['inv_chunks'], x, T['q'], T['qinv_f'])
@@ -411,6 +430,8 @@ class DeviceContext:
         """RAW full-chain inverse (no CRT prescale): the public
         Cmodulus::iFFT analog for SingleCrt conversions and tests."""
         if self.use_ct:
+            if self.ct_pallas:
+                return ntt_ct_pallas.ct_inv(self.C['ct'], x, self.ct_meta)
             return ntt_ct.ct_inv(self.C['ct'], x, self.ct_meta)
         return self._ntt_raw(self.C['inv_chunks'], x, self.C['q'],
                              self.C['qinv_f'])
@@ -435,7 +456,10 @@ class DeviceContext:
     # ------------------------------------------------------------ scheme ops
     def _encrypt(self, C, pk_evals, msg, r, errors):
         # linear subset basis: pk*r + p*e reconstructs exactly there
-        # (context.lin_value_primes bound; FHE-SI.cpp:10-36 semantics)
+        # (context.lin_value_primes bound; FHE-SI.cpp:10-36 semantics).
+        # RANK-GENERIC: msg/r [..., phim], errors [..., 2, phim] — the
+        # batched op passes [B, ...] natively (no vmap) so the
+        # transforms run at their flat fast rank.
         T = self._lin_tables(C)
         pk_sub = self._gather_rows(T, pk_evals)
         r_evals = self._fwd_t(T, r[..., None, :] % T['q'])
@@ -445,15 +469,16 @@ class DeviceContext:
             self._gather_rows(T, C['p_mod_q']), T['q'], T['qinv_f'],
             self.wide)
         ct_evals = modular.mod_add(
-            modular.mod_mul(pk_sub, r_evals[None], T['q'], T['qinv_f'],
-                            self.wide),
+            modular.mod_mul(pk_sub, r_evals[..., None, :, :], T['q'],
+                            T['qinv_f'], self.wide),
             e_evals, T['q'])
         parts = self._to_poly_sub(T, ct_evals)
         nw = parts.shape[-1]     # lin-basis recon width; q/p << 2^(16*nw)
         scaled = lb.scale_coeffs_by_bigint(msg, C['q_over_p'][..., :nw],
                                            C['q_over_p_sh10'][..., :nw],
                                            C['q_over_p_sh20'][..., :nw])
-        parts = parts.at[0].set(lb.add(parts[0], scaled))
+        p0 = lb.add(parts[..., 0, :, :], scaled)
+        parts = parts.at[..., 0, :, :].set(p0)
         return self._reduce_signed(C, parts)
 
     @cached_property
@@ -462,8 +487,7 @@ class DeviceContext:
 
     @cached_property
     def batched_encrypt_op(self):
-        return self._wrap(jax.vmap(self._encrypt,
-                                   in_axes=(None, None, 0, 0, 0)))
+        return self._wrap(self._encrypt)
 
     def _decrypt(self, C, parts_limbs, sk_evals):
         # linear subset basis: sum_i ct_i*sk_i (sk ternary HWt 64 powers)
@@ -473,6 +497,9 @@ class DeviceContext:
         # is invariant under d -> d + t*q (the quotient shifts by exactly
         # t*p), so the output is unchanged and the derived lin-basis bound
         # (context.exact_bounds['dec'], |ct| <= q/2) applies.
+        # RANK-GENERIC (parts axis at -3): batched callers pass
+        # [B, k, phim, n] directly — native batch dims keep every
+        # transform at its flat fast rank (ntt_ct._flatten_lead).
         if parts_limbs.shape[-1] > self.n_ct:
             parts_limbs = self._reduce_signed(C, parts_limbs)
         T = self._lin_tables(C)
@@ -480,9 +507,9 @@ class DeviceContext:
         sk_sub = self._gather_rows(T, sk_evals)
         prod = modular.mod_mul(part_evals, sk_sub, T['q'], T['qinv_f'],
                                self.wide)
-        acc = prod[0]
-        for i in range(1, prod.shape[0]):
-            acc = modular.mod_add(acc, prod[i], T['q'])
+        acc = prod[..., 0, :, :]
+        for i in range(1, prod.shape[-3]):
+            acc = modular.mod_add(acc, prod[..., i, :, :], T['q'])
         d = self._to_poly_sub(T, acc)
         nw = d.shape[-1]          # lin recon width; *2p headroom budgeted
         y = lb.mul_small(d, 2 * self.p)
@@ -503,7 +530,9 @@ class DeviceContext:
 
     @cached_property
     def batched_decrypt_op(self):
-        return self._wrap(jax.vmap(self._decrypt, in_axes=(None, 0, None)))
+        # native batch (no vmap): _decrypt is rank-generic and the
+        # transforms flatten leading dims to the fast 3-D shapes
+        return self._wrap(self._decrypt)
 
     @cached_property
     def batched_reduce_signed_op(self):
@@ -521,19 +550,30 @@ class DeviceContext:
         return self._wrap(lambda C, a, b: modular.mod_add(a, b, C['q']))
 
     def _tensor_mul(self, C, a_parts, b_parts):
-        a_ev = modular.mod_mul(self._from_poly(C, a_parts), C['p_mod_q'],
-                               C['q'], C['qinv_f'], self.wide)
-        b_ev = self._from_poly(C, b_parts)
-        na, nb = a_ev.shape[0], b_ev.shape[0]
+        # RANK-GENERIC (parts axis at -3 after the lift): batched callers
+        # pass [B, k, phim, n] natively
+        na, nb = a_parts.shape[-3], b_parts.shape[-3]
+        if a_parts.shape[-1] == b_parts.shape[-1]:
+            # ONE fused lift for both operands (same transform, bigger
+            # flat batch) — then split and scale the a-side by p
+            ev = self._from_poly(C, jnp.concatenate([a_parts, b_parts],
+                                                    axis=-3))
+            a_ev = modular.mod_mul(ev[..., :na, :, :], C['p_mod_q'],
+                                   C['q'], C['qinv_f'], self.wide)
+            b_ev = ev[..., na:, :, :]
+        else:
+            a_ev = modular.mod_mul(self._from_poly(C, a_parts), C['p_mod_q'],
+                                   C['q'], C['qinv_f'], self.wide)
+            b_ev = self._from_poly(C, b_parts)
         out = [None] * (na + nb - 1)
         for i in range(na):
             for j in range(nb):
-                pr = modular.mod_mul(a_ev[i], b_ev[j], C['q'], C['qinv_f'],
-                                     self.wide)
+                pr = modular.mod_mul(a_ev[..., i, :, :], b_ev[..., j, :, :],
+                                     C['q'], C['qinv_f'], self.wide)
                 k = i + j
                 out[k] = pr if out[k] is None else modular.mod_add(
                     out[k], pr, C['q'])
-        return jnp.stack(out)
+        return jnp.stack(out, axis=-3)
 
     @cached_property
     def tensor_mul_op(self):
@@ -541,7 +581,7 @@ class DeviceContext:
 
     @cached_property
     def batched_tensor_mul_op(self):
-        return self._wrap(jax.vmap(self._tensor_mul, in_axes=(None, 0, 0)))
+        return self._wrap(self._tensor_mul)
 
     @cached_property
     def signed_group_sum_tensored_op(self):
@@ -578,25 +618,34 @@ class DeviceContext:
 
     def _digit_evals(self, C, parts_limbs):
         """Digit residues + NTTs over the keyswitch subset basis (the
-        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes)."""
+        dominant NTT stage: parts*ndigits rows, context.ksw_rows primes).
+        RANK-GENERIC: parts_limbs [..., k, phim, n] -> [..., k*nd, Lk,
+        phim] — batched callers pass a native batch axis."""
         from .context import MAX_KSW_PARTS
-        assert parts_limbs.shape[0] <= MAX_KSW_PARTS, (
-            f"keyswitching {parts_limbs.shape[0]} parts exceeds the "
+        k = parts_limbs.shape[-3]
+        assert k <= MAX_KSW_PARTS, (
+            f"keyswitching {k} parts exceeds the "
             f"MAX_KSW_PARTS={MAX_KSW_PARTS} cap the subset basis is "
             "provisioned for (context.exact_bounds['ksw'])")
         K = self._ksw_tables(C)
+        lead = parts_limbs.shape[:-3]
+        rows = k * self.ndigits
         if self.digit_bits <= 24:
             digs = lb.byte_decomp(parts_limbs, self.log_q, self.digit_bits,
                                   self.ndigits, C['q_limbs'])
-            digs = jnp.moveaxis(digs, -1, 1).reshape(-1, self.phim)
+            digs = jnp.moveaxis(digs, -1, -2)      # [..., k, nd, phim]
+            digs = digs.reshape(lead + (rows, self.phim))
             if self.use_ct:
                 # Fast path (round 5): feed the prime-INDEPENDENT digit
                 # values straight into the chirped stage-1 matmul — no
                 # [rows, Lk, phim] int32 residue broadcast, no separate
                 # per-prime Barrett pass (ntt_ct.ct_fwd_digits).
+                if self.ct_pallas:
+                    return ntt_ct_pallas.ct_fwd_digits(
+                        K['ct'], digs, self.ct_meta, self.digit_bits)
                 return ntt_ct.ct_fwd_digits(K['ct'], digs, self.ct_meta,
                                             self.digit_bits)
-            res = modular.barrett(digs[:, None, :], K['q'], K['qinv_f'])
+            res = modular.barrett(digs[..., None, :], K['q'], K['qinv_f'])
         else:
             # decompSize >= 4: digits ride 16-bit limb planes; convert
             # to residues with a Horner over planes (x2^16 mod q runs as
@@ -604,10 +653,11 @@ class DeviceContext:
             digs = lb.byte_decomp_planes(parts_limbs, self.log_q,
                                          self.digit_bits, self.ndigits,
                                          C['q_limbs'])
-            digs = jnp.moveaxis(digs, -2, 1)       # [k, nd, phim, planes]
-            digs = digs.reshape(-1, self.phim, digs.shape[-1])
+            # [..., k, phim, nd, planes] -> [..., k*nd, phim, planes]
+            digs = jnp.moveaxis(digs, -2, -3)      # [..., k, nd, phim, pl]
+            digs = digs.reshape(lead + (rows, self.phim, digs.shape[-1]))
             q, qinv = K['q'], K['qinv_f']
-            pl = digs[:, None, :, :]               # [rows, 1, phim, planes]
+            pl = digs[..., None, :, :]             # [..., rows, 1, phim, pl]
             res = modular.barrett(pl[..., -1], q, qinv)
             for t in range(pl.shape[-1] - 2, -1, -1):
                 if self.wide:
@@ -626,12 +676,13 @@ class DeviceContext:
     def _keyswitch_digits(self, C, matrix_evals, digit_evals):
         """Keyswitch dot + reconstruction over the subset basis.  The
         matrix is stored on the full chain (serialization parity); its
-        subset rows are gathered here (cheap relative to the NTTs)."""
+        subset rows are gathered here (cheap relative to the NTTs).
+        RANK-GENERIC: digit_evals [..., K, Lk, phim]."""
         K = self._ksw_tables(C)
         mat = (matrix_evals if K['rows'] is None
                else jnp.take(matrix_evals, K['rows'], axis=2))
-        acc = modular.mod_dot(mat, digit_evals[None], K['q'], K['qinv_f'],
-                              axis=1, wide=self.wide)
+        acc = modular.mod_dot(mat, digit_evals[..., None, :, :, :],
+                              K['q'], K['qinv_f'], axis=-3, wide=self.wide)
         limbs = self._to_poly_sub(K, acc)
         return self._reduce_signed(C, limbs)
 
@@ -640,7 +691,7 @@ class DeviceContext:
         return self._wrap(self._keyswitch_digits)
 
     def _keyswitch_parts_one(self, parts, matrix_evals):
-        """Eager helper (used by batched app pipelines via vmap below)."""
+        """Eager helper (used by the sharded app pipelines)."""
         return self._keyswitch_parts(self.C, parts, matrix_evals)
 
     def _keyswitch_parts(self, C, parts, matrix_evals):
@@ -649,8 +700,7 @@ class DeviceContext:
 
     @cached_property
     def batched_keyswitch_parts_op(self):
-        return self._wrap(jax.vmap(self._keyswitch_parts,
-                                   in_axes=(None, 0, None)))
+        return self._wrap(self._keyswitch_parts)
 
     # The permutation is passed as a jit ARGUMENT, not closed over: a
     # closed-over device array lowers to an HLO constant, which stalls
@@ -766,35 +816,38 @@ class DeviceContext:
 
     # ------------------------------------------------------- batched pipelines
     def _mul_relin(self, C, a_parts, b_parts, matrix_evals):
+        # RANK-GENERIC end to end: the batched op passes [B, k, phim, n]
+        # natively (no vmap), so every transform inside runs at the flat
+        # fast rank (ntt_ct._flatten_lead merges B into the row axis)
         tprod = self._tensor_mul(C, a_parts, b_parts)
         parts = self._scale_down(C, tprod)
         return self._keyswitch_parts(C, parts, matrix_evals)
 
     def _mul_relin_one(self, a_parts, b_parts, matrix_evals):
-        """Eager full mul+relin for one pair (sharded pipelines vmap this)."""
+        """Eager full mul+relin for one pair (sharded pipelines use this)."""
         return self._mul_relin(self.C, a_parts, b_parts, matrix_evals)
 
     @cached_property
     def batched_mul_relin_op(self):
-        return self._wrap(jax.vmap(self._mul_relin,
-                                   in_axes=(None, 0, 0, None)))
+        return self._wrap(self._mul_relin)
 
     @cached_property
     def batched_keyswitch_tensored_op(self):
-        def one(C, tprod, matrix):
-            return self._keyswitch_parts(C, self._scale_down(C, tprod), matrix)
-        return self._wrap(jax.vmap(one, in_axes=(None, 0, None)))
+        def run(C, tprod, matrix):
+            return self._keyswitch_parts(C, self._scale_down(C, tprod),
+                                         matrix)
+        return self._wrap(run)
 
     @cached_property
     def batched_rotate_reduce_stage_op(self):
-        def one(C, parts, perm, matrix):
+        def run(C, parts, perm, matrix):
             T, primes = self._lin_tables_for_width(C, parts.shape[-1])
             ev = self._from_poly_sub(T, parts, primes)
             ev = jnp.take(ev, perm, axis=-1)
             rotated = self._to_poly_sub(T, ev)
             switched = self._keyswitch_parts(C, rotated, matrix)
             return self._reduce_signed(C, lb.add(parts, switched))
-        return self._wrap(jax.vmap(one, in_axes=(None, 0, None, None)))
+        return self._wrap(run)
 
 
 _DEVICE_CACHE: dict[int, DeviceContext] = {}

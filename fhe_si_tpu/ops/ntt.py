@@ -352,5 +352,15 @@ def modmatmul(mat_chunks, x, q, qinv_f):
     x:          int32 [..., L, n_in] residues in [0, q)
     q, qinv_f:  [L, 1] broadcastables
     returns     int32 [..., L, n_out]
+
+    Leading dims are flattened to ONE batch axis before the einsums and
+    restored after: XLA lowers the batched dots and surrounding
+    transposes dramatically worse at rank >= 4 (measured 2.9x at the
+    ct4096 digit volume, tools/profile_digit_layout.py).
     """
+    lead = x.shape[:-2]
+    if len(lead) > 1:
+        flat = x.reshape((-1,) + x.shape[-2:])
+        r = horner_combine(karatsuba_groups(mat_chunks, flat), q, qinv_f)
+        return r.reshape(lead + r.shape[1:])
     return horner_combine(karatsuba_groups(mat_chunks, x), q, qinv_f)

@@ -293,6 +293,26 @@ def _pad_to_N(x, meta: CtMeta):
     return jnp.pad(x, pad)
 
 
+def _flatten_lead(x, keep: int):
+    """Merge every leading dim ahead of the last `keep` axes into one.
+
+    XLA lowers the stage einsums/transposes of this module dramatically
+    worse at rank >= 4 (measured 14.6 vs 5.0 ms/step for identical data
+    at the ct4096 digit volume, tools/profile_digit_layout.py), so every
+    public transform flattens its leading dims at trace time and
+    restores them on the way out.  Returns (flat, lead_shape)."""
+    lead = x.shape[:x.ndim - keep]
+    if len(lead) <= 1:
+        return x, None
+    return x.reshape((-1,) + x.shape[x.ndim - keep:]), lead
+
+
+def _restore_lead(y, lead):
+    if lead is None:
+        return y
+    return y.reshape(lead + y.shape[1:])
+
+
 def _fwd_tail(T, y, meta: CtMeta):
     """Shared forward tail from the stage-1 output [..., c1, L, j2]:
     twiddle, outer DFT, join, drop excluded rows."""
@@ -308,9 +328,10 @@ def ct_fwd(T: dict, x, meta: CtMeta):
     """Evaluations at primitive m-th roots in zms (ascending-t) order:
     identical semantics and values to the dense ntt_fwd.  x: int32
     [..., L, phim] residues in [0, q)."""
+    x, lead = _flatten_lead(x, 2)
     y = _shape_split(_pad_to_N(x, meta), meta.N1, meta.N2)
     y = ntt.modmatmul(T['t2'], y, T['q'], T['qinv_f'])   # chirped DFT c2->j2
-    return _fwd_tail(T, y, meta)
+    return _restore_lead(_fwd_tail(T, y, meta), lead)
 
 
 def ct_fwd_digits(T: dict, digits, meta: CtMeta, digit_bits: int):
@@ -324,15 +345,16 @@ def ct_fwd_digits(T: dict, digits, meta: CtMeta, digit_bits: int):
     matmul per plane pair), and the Barrett-Horner combine of the matmul
     OUTPUT performs the first mod-q reduction.  Bit-identical to
     ct_fwd(T, barrett(digits) broadcast per prime) by linearity."""
+    digits, lead = _flatten_lead(digits, 1)
     # split WITHOUT an L axis: [..., N] -> [..., N1, N2], c = c1 + N1*c2
     d = _pad_to_N(digits, meta)
-    *lead, N = d.shape
-    d = d.reshape(*lead, meta.N2, meta.N1)           # [.., c2, c1]
+    *ld, N = d.shape
+    d = d.reshape(*ld, meta.N2, meta.N1)             # [.., c2, c1]
     d = jnp.swapaxes(d, -1, -2)                      # [.., c1, c2]
     groups, bits = ntt.digit_cross_groups(T['t2'], d, digit_bits)
     y = ntt.horner_combine(groups, T['q'], T['qinv_f'], bits)
     # digit_cross_groups emits [..., c1, L, j2] (l, o from the table)
-    return _fwd_tail(T, y, meta)
+    return _restore_lead(_fwd_tail(T, y, meta), lead)
 
 
 def ct_inv(T: dict, evals, meta: CtMeta, t2i_key: str = 't2i'):
@@ -344,6 +366,7 @@ def ct_inv(T: dict, evals, meta: CtMeta, t2i_key: str = 't2i'):
     the CT analog of the dense path's prescaled 'inv_chunks_crt'."""
     w = _is_wide(T)
     N1, N2 = meta.N1, meta.N2
+    evals, flead = _flatten_lead(evals, 2)
     y = _insert_excluded(evals, meta)
     *lead, L, N = y.shape
     y = y.reshape(*lead, L, N1, N2)                  # u = j2 + N2*j1
@@ -354,4 +377,4 @@ def ct_inv(T: dict, evals, meta: CtMeta, t2i_key: str = 't2i'):
     y = mod_mul(y, T['twi'], T['q'], T['qinv_f'], w)
     y = ntt.modmatmul(T[t2i_key], y, T['q'], T['qinv_f'])  # inv DFT over j2
     z = _shape_split_inv(y, N1, N2)
-    return _fold_mod_phim(z, T['q'], meta)
+    return _restore_lead(_fold_mod_phim(z, T['q'], meta), flead)

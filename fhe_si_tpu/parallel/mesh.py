@@ -64,8 +64,7 @@ def sharded_mul_relin(dev, mesh: Mesh):
     from ..ops import limbs as lb
 
     def step(C, a, b, matrix):
-        out = jax.vmap(dev._mul_relin, in_axes=(None, 0, 0, None))(
-            C, a, b, matrix)
+        out = dev._mul_relin(C, a, b, matrix)   # rank-generic, native batch
         # additive block reduce: sum of mod-q limb polys then signed reduce
         acc = out[0]
         for i in range(1, out.shape[0]):

@@ -96,10 +96,10 @@ def main():
           f"n_ct={dev.n_ct} ksw_rows={len(ctx.ksw_rows)}", file=sys.stderr)
 
     def vchain(fn, x0, label, extra=None):
-        one = jax.vmap(fn, in_axes=(0,) if extra is None else (0, None))
-
+        # NATIVE batch (no vmap): the pipelines are rank-generic and
+        # flatten leading dims to the fast 3-D shapes internally
         def body(cur, _):
-            return (one(cur) if extra is None else one(cur, extra)), ()
+            return (fn(cur) if extra is None else fn(cur, extra)), ()
 
         f = jax.jit(lambda z: jnp.sum(
             jax.lax.scan(body, z, None, length=steps)[0]))
@@ -135,7 +135,7 @@ def main():
 
     vchain(crt_roundtrip, a, "crt both ways, no NTT")
     vchain(lambda p_: dev._scale_down(
-        C, dev._tensor_mul(C, p_, jnp.roll(p_, 1, -2)))[:2], a,
+        C, dev._tensor_mul(C, p_, jnp.roll(p_, 1, -2)))[:, :2], a,
         "tensor_mul + scale_down")
     vchain(lambda p_, m_: dev._mul_relin(C, p_, jnp.roll(p_, 1, -2), m_), a,
         "full mul_relin", extra=mat)
@@ -146,11 +146,11 @@ def main():
 
     vchain(lambda p_, m_: jnp.concatenate(
         [dev._keyswitch_parts(C, p_, m_),
-         p_[:1]], axis=0), a3, "keyswitch_parts (3-part in)", extra=mat)
+         p_[:, :1]], axis=1), a3, "keyswitch_parts (3-part in)", extra=mat)
 
     def digits_probe(p_):
-        ev = dev._digit_evals(C, p_)              # [rows, Lk, phim]
-        back = jnp.swapaxes(ev[:3, :dev.n_ct, :], -1, -2)
+        ev = dev._digit_evals(C, p_)              # [B, rows, Lk, phim]
+        back = jnp.swapaxes(ev[:, :3, :dev.n_ct, :], -1, -2)
         return back % jnp.int32(1 << 16)
     vchain(digits_probe, a3, "digit_evals only (decomp+fwd)")
 
@@ -161,9 +161,9 @@ def main():
     def decomp_only(p_):
         digs = lb.byte_decomp(p_, ctx.log_q, dev.digit_bits, dev.ndigits,
                               C['q_limbs'])
-        digs = jnp.moveaxis(digs, -1, 1).reshape(-1, ctx.phim)
-        res = barrett(digs[:, None, :], K['q'], K['qinv_f'])
-        back = jnp.swapaxes(res[:3, :dev.n_ct, :], -1, -2)
+        digs = jnp.moveaxis(digs, -1, -2).reshape(p_.shape[0], -1, ctx.phim)
+        res = barrett(digs[..., None, :], K['q'], K['qinv_f'])
+        back = jnp.swapaxes(res[:, :3, :dev.n_ct, :], -1, -2)
         return back % jnp.int32(1 << 16)
     vchain(decomp_only, a3, "byte_decomp + residues only")
 
@@ -176,9 +176,10 @@ def main():
     draw = jnp.broadcast_to(
         jnp.asarray(rng.integers(0, 1 << 24, size=(12, ctx.phim)),
                     jnp.int32)[None], (B, 12, ctx.phim))
-    vchain(lambda d_: ntt_ct.ct_fwd_digits(K['ct'], d_, dev.ct_meta,
-                                           dev.digit_bits),
-           draw, "ct_fwd_digits (fast digit path)")
+    vchain(lambda d_: jnp.sum(
+        ntt_ct.ct_fwd_digits(K['ct'], d_, dev.ct_meta, dev.digit_bits),
+        axis=-2) % jnp.int32(1 << 24),
+        draw, "ct_fwd_digits (fast digit path)")
 
     from fhe_si_tpu.ops.modular import mod_dot
     rows = mat.shape[1]
@@ -191,10 +192,11 @@ def main():
         K = dev._ksw_tables(C)
         md = (m_ if K['rows'] is None
               else jnp.take(m_, K['rows'], axis=2))
-        acc = mod_dot(md, d_[None], K['q'], K['qinv_f'],
-                      axis=1, wide=ctx.wide)
-        return jnp.concatenate([jnp.broadcast_to(acc[:1], (rows - 2,) +
-                                                 acc.shape[1:]), acc], axis=0)
+        acc = mod_dot(md, d_[..., None, :, :, :], K['q'], K['qinv_f'],
+                      axis=-3, wide=ctx.wide)
+        return jnp.concatenate(
+            [jnp.broadcast_to(acc[:, :1], (acc.shape[0], rows - 2)
+                              + acc.shape[2:]), acc], axis=1)
     vchain(dot_probe, dg, "ksw mod_dot only", extra=mat)
 
 

@@ -1,9 +1,8 @@
-"""Focused A/B probes for the digit-stage CT transform slowdown.
-
-The digit stage's subset ct_fwd measured 4x worse than linear volume
-scaling vs the plain [B, L, N] probe (tools/profile_ct.py).  Candidates:
-the vmap-prepended batch axis (5D tensors through the swapaxes pair) vs
-the subset tables themselves.  Times each combination.
+"""Per-stage probes of the CT forward transform at the keyswitch digit
+volume ([768 rows, Lk primes, N] at the ct4096 config) — locates where
+the ~5-7 ms/step of the digit stage goes now that the pipeline is
+natively batched (rank-3 transforms).  Every stage is timed in
+isolation with the bench chain methodology.
 """
 import os
 import sys
@@ -21,17 +20,23 @@ def main():
     import jax.numpy as jnp
     from fhe_si_tpu.context import FheContext
     from fhe_si_tpu.device import device_context
+    from fhe_si_tpu.ops import ntt, ntt_ct
+    from fhe_si_tpu.ops.modular import mod_mul
 
     ctx = FheContext(m=8192, log_q=80, p=40961, generator=3)
     dev = device_context(ctx)
     C = dev.C
     K = dev._ksw_tables(C)
+    T = K['ct']
+    meta = dev.ct_meta
+    N1, N2 = meta.N1, meta.N2
     Lk = K['q'].shape[0]
-    L = ctx.num_primes
-    steps = 64
+    q, qi = T['q'], T['qinv_f']
+    steps = int(os.environ.get("STEPS", "64"))
     rng = np.random.default_rng(0)
-    kprimes = ctx.primes[np.asarray(ctx.ksw_rows)]
-    print(f"L={L} Lk={Lk} phim={ctx.phim}", file=sys.stderr)
+    R = 768
+    print(f"Lk={Lk} phim={ctx.phim} N1xN2={N1}x{N2} rows={R} steps={steps}",
+          file=sys.stderr)
 
     def chain(fn, x0, label):
         def body(cur, _):
@@ -47,30 +52,48 @@ def main():
             t0 = time.perf_counter()
             np.asarray(f(xr))
             best = min(best, time.perf_counter() - t0)
-        ms = best / steps * 1e3
-        el = int(np.prod(x0.shape))
-        print(f"{label:44s} {ms:8.3f} ms/step "
-              f"({ms/el*1e6:6.2f} ns/kel)", file=sys.stderr)
-        return ms
+        print(f"{label:44s} {best/steps*1e3:8.3f} ms/step", file=sys.stderr)
 
-    # flat 3D [768, Lk, N] == digit volume, no extra dims
-    d3 = jnp.asarray(rng.integers(0, kprimes[:, None],
-                                  size=(768, Lk, ctx.phim)), jnp.int32)
-    chain(lambda c: dev._fwd_t(K, c), d3, "subset fwd, flat [768, 8, N]")
+    digits = jnp.asarray(rng.integers(0, 1 << 24, size=(R, ctx.phim)),
+                         jnp.int32)
+    # the [R, c1, Lk, j2] intermediate every tail stage runs on
+    mid = jnp.asarray(rng.integers(0, np.asarray(K['q'])[:, 0][None, None, :,
+                                                              None],
+                                   size=(R, N1, Lk, N2)), jnp.int32)
+    back24 = lambda ev: jnp.sum(ev, axis=-2) % jnp.int32(1 << 24)  # noqa
 
-    # 4D [64, 12, Lk, N] plain jit (no vmap)
-    d4 = d3.reshape(64, 12, Lk, ctx.phim)
-    chain(lambda c: dev._fwd_t(K, c), d4, "subset fwd, plain 4D [64, 12, 8, N]")
+    # full digit transform
+    chain(lambda d: back24(ntt_ct.ct_fwd_digits(T, d, meta, 24)),
+          digits, "ct_fwd_digits full (+sum fold)")
 
-    # 4D via vmap over the leading axis
-    vf = jax.vmap(lambda c: dev._fwd_t(K, c))
-    chain(vf, d4, "subset fwd, vmap over B [64, 12, 8, N]")
+    # stage 1 only: digit chunks -> cross groups -> horner
+    def stage1(d):
+        dd = d.reshape(R, N2, N1)
+        dd = jnp.swapaxes(dd, -1, -2)
+        g, bits = ntt.digit_cross_groups(T['t2'], dd, 24)
+        y = ntt.horner_combine(g, q, qi, bits)      # [R, c1, Lk, j2]
+        return jnp.sum(y, axis=-2).reshape(R, ctx.phim) % jnp.int32(1 << 24)
+    chain(stage1, digits, "stage1 only (cross groups + horner)")
 
-    # full-chain fwd at matched volume, plain 3D
-    x3 = jnp.asarray(rng.integers(0, ctx.primes[:, None],
-                                  size=(512, L, ctx.phim)), jnp.int32)
-    chain(lambda c: dev._fwd_t(dev._full_as_subset(C), c), x3,
-          "full fwd, flat [512, 12, N]")
+    # tail pieces on the mid tensor
+    chain(lambda y: mod_mul(y, T['tw'], q, qi, False), mid, "twiddle mod_mul")
+    chain(lambda y: jnp.swapaxes(y, -1, -3) % jnp.int32(1 << 20), mid,
+          "swapaxes(-1,-3) materialize")
+
+    def stage2(y):
+        z = jnp.swapaxes(y, -1, -3)
+        out = ntt.modmatmul(T['t1'], z, q, qi)
+        return jnp.swapaxes(out, -1, -3)
+    chain(stage2, mid, "swap + t1 matmul + swap")
+
+    def tail(y):
+        out = ntt_ct._fwd_tail(T, y, meta)          # twiddle..join
+        return out.reshape(R, N1, Lk, N2) % jnp.int32(1 << 20)
+    chain(tail, mid, "full fwd tail (twiddle..join)")
+
+    # modmatmul in the two layouts, same volume
+    chain(lambda y: ntt.modmatmul(T['t1'], y, q, qi), mid,
+          "t1 matmul on [R, c1, Lk, c2] (no swap)")
 
 
 if __name__ == "__main__":
