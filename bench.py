@@ -61,9 +61,11 @@ def _chain_rate(dev, matrix, a, steps, reps=3):
             # rolling the limb tensor along phim gives a DISTINCT second
             # multiplicand (a valid ciphertext of a rotated polynomial),
             # so the two operand lifts cannot be CSE'd into one.
-            # _mul_relin is rank-generic (native batch axis, no vmap).
+            # _mul_relin_b picks the family-appropriate batch lowering
+            # (vmap for the tiny/dense family, native for CT —
+            # device.py measurement note).
             other = jnp.roll(cur, 1, axis=-2)
-            return dev._mul_relin(C, cur, other, matrix), ()
+            return dev._mul_relin_b(C, cur, other, matrix), ()
 
         y, _ = jax.lax.scan(body, x, None, length=steps)
         return jnp.sum(y)
@@ -239,10 +241,11 @@ def bench_ct(m=8192, p=40961, log_q=80, batch=64, steps=16):
     rate, step_s = _chain_rate(dev, ksw.matrix_evals, a, steps)
 
     # int8 MACs per prime-transform: n_dots * N * (N1 + N2) (two matmul
-    # stages of the two-level factorization, ops/ntt_ct.py)
+    # stages of the two-level factorization over the padded length
+    # N = m/2 >= phim, ops/ntt_ct.py)
     N1, N2 = dev.ct_split
     n_dots = 9 if ctx.wide else 6
-    macs_pt = n_dots * (ctx.phim * (N1 + N2))
+    macs_pt = n_dots * (N1 * N2 * (N1 + N2))
     L, Lk = ctx.num_primes, len(ctx.ksw_rows)
     # transforms per mul+relin: 4 lifts (full chain) + 3 ScaleDown iNTTs
     # + 2*ndigits digit NTTs + 2 keyswitch iNTTs (subset basis)
@@ -268,6 +271,10 @@ def main():
     # the 9-dot/7-group machinery's real cost is machine-recorded (r4
     # verdict: "nobody knows what it costs in practice")
     ct8k_rate, _ = bench_ct(m=16384, p=65537, log_q=170, batch=16, steps=8)
+    # mixed-radix ring (m = 2^12*5, phim = 8192): the round-5 family
+    # extension past power-of-two m — the first TPU number for a
+    # non-2^k ring beyond the dense-table wall
+    ct20k_rate, _ = bench_ct(m=20480, p=40961, log_q=80, batch=16, steps=8)
     # one driver-parsed line; secondary keys make rounds machine-comparable
     # (round-3 verdict: the meaningful numbers lived only in stderr prose)
     print(json.dumps({
@@ -279,6 +286,7 @@ def main():
         "ct4096": round(ct_rate, 1),
         "mfu_ct": round(ct_mfu, 2),
         "ct8k": round(ct8k_rate, 1),
+        "ct20k_mixedradix": round(ct20k_rate, 1),
         "ntt_v3": round(ntt_rate),
         "scaledown_v3_ms": round(scale_ms, 3),
     }))

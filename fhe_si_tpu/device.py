@@ -487,6 +487,9 @@ class DeviceContext:
 
     @cached_property
     def batched_encrypt_op(self):
+        if not self.use_ct:
+            return self._wrap(jax.vmap(self._encrypt,
+                                       in_axes=(None, None, 0, 0, 0)))
         return self._wrap(self._encrypt)
 
     def _decrypt(self, C, parts_limbs, sk_evals):
@@ -530,8 +533,11 @@ class DeviceContext:
 
     @cached_property
     def batched_decrypt_op(self):
-        # native batch (no vmap): _decrypt is rank-generic and the
+        # CT: native batch (no vmap) — _decrypt is rank-generic and the
         # transforms flatten leading dims to the fast 3-D shapes
+        if not self.use_ct:
+            return self._wrap(jax.vmap(self._decrypt,
+                                       in_axes=(None, 0, None)))
         return self._wrap(self._decrypt)
 
     @cached_property
@@ -581,6 +587,9 @@ class DeviceContext:
 
     @cached_property
     def batched_tensor_mul_op(self):
+        if not self.use_ct:
+            return self._wrap(jax.vmap(self._tensor_mul,
+                                       in_axes=(None, 0, 0)))
         return self._wrap(self._tensor_mul)
 
     @cached_property
@@ -700,6 +709,9 @@ class DeviceContext:
 
     @cached_property
     def batched_keyswitch_parts_op(self):
+        if not self.use_ct:
+            return self._wrap(jax.vmap(self._keyswitch_parts,
+                                       in_axes=(None, 0, None)))
         return self._wrap(self._keyswitch_parts)
 
     # The permutation is passed as a jit ARGUMENT, not closed over: a
@@ -827,15 +839,34 @@ class DeviceContext:
         """Eager full mul+relin for one pair (sharded pipelines use this)."""
         return self._mul_relin(self.C, a_parts, b_parts, matrix_evals)
 
+    # Batch lowering choice (measured, family-dependent): the CT family
+    # NEEDS the native batch axis (XLA lowers its stage einsums ~3x
+    # worse at rank >= 4, so the transforms flatten the batch into the
+    # row axis — tools/profile_digit_layout.py), while the tiny/dense
+    # family measures ~3x FASTER under vmap at the dispatch-bound
+    # canonical config (m=22: 2.24M vmapped vs 0.76M native, bench r5).
+    # The functions are rank-generic either way and bit-identical.
+    def _mul_relin_b(self, C, a_parts, b_parts, matrix_evals):
+        """Batched mul+relin with the family-appropriate lowering."""
+        if self.use_ct:
+            return self._mul_relin(C, a_parts, b_parts, matrix_evals)
+        return jax.vmap(self._mul_relin,
+                        in_axes=(None, 0, 0, None))(C, a_parts, b_parts,
+                                                    matrix_evals)
+
     @cached_property
     def batched_mul_relin_op(self):
-        return self._wrap(self._mul_relin)
+        return self._wrap(self._mul_relin_b)
 
     @cached_property
     def batched_keyswitch_tensored_op(self):
         def run(C, tprod, matrix):
             return self._keyswitch_parts(C, self._scale_down(C, tprod),
                                          matrix)
+        if not self.use_ct:
+            run_v = lambda C, t, m: jax.vmap(       # noqa: E731
+                run, in_axes=(None, 0, None))(C, t, m)
+            return self._wrap(run_v)
         return self._wrap(run)
 
     @cached_property
@@ -847,6 +878,10 @@ class DeviceContext:
             rotated = self._to_poly_sub(T, ev)
             switched = self._keyswitch_parts(C, rotated, matrix)
             return self._reduce_signed(C, lb.add(parts, switched))
+        if not self.use_ct:
+            run_v = lambda C, p, pm, m: jax.vmap(   # noqa: E731
+                run, in_axes=(None, 0, None, None))(C, p, pm, m)
+            return self._wrap(run_v)
         return self._wrap(run)
 
 
