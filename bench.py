@@ -220,7 +220,7 @@ def bench_big(p=4007, log_q=170, batch=64, steps=16):
     return rate
 
 
-def bench_ct(m=8192, p=40961, log_q=80, batch=64, steps=16):
+def bench_ct(m=8192, p=40961, log_q=80, batch=64, steps=32):
     """Power-of-two-m config riding the Cooley-Tukey transform family —
     phim=4096 by default, the first scheme-level shape past the dense
     family's ~2 GB table wall.  Derives the int8-op count per mult from
